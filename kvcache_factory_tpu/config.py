@@ -1,0 +1,270 @@
+"""Typed configuration for the TPU-native KV-cache-compression inference engine.
+
+The reference (assassin808/KVCache-Factory) spreads configuration across three
+mechanisms: argparse flags, per-layer attribute injection onto HF config objects
+(run_longbench.py:241-261), and lazy ``init_*`` defaults
+(pyramidkv/pyramidkv_utils.py:880-1085).  Here everything is a frozen dataclass
+resolved *before* compilation; per-layer budget schedules become arrays, not
+monkeypatched attributes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import math
+import os
+from dataclasses import dataclass, field
+from typing import Any, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+
+# ---------------------------------------------------------------------------
+# Model configuration
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    """Architecture hyper-parameters for a Llama/Mistral-family decoder.
+
+    Mirrors the fields of HF ``LlamaConfig`` / ``MistralConfig`` that the
+    reference relies on (pyramidkv/llama_model.py uses the HF modeling config),
+    but as a frozen, hashable object usable as a jit static argument.
+    """
+
+    model_type: str = "llama"  # "llama" | "mistral"
+    vocab_size: int = 32000
+    hidden_size: int = 4096
+    intermediate_size: int = 11008
+    num_hidden_layers: int = 32
+    num_attention_heads: int = 32
+    num_key_value_heads: int = 32
+    head_dim: int = 128
+    max_position_embeddings: int = 8192
+    rope_theta: float = 10000.0
+    rms_norm_eps: float = 1e-5
+    sliding_window: Optional[int] = None  # Mistral v0.1 uses 4096
+    tie_word_embeddings: bool = False
+    attention_bias: bool = False
+    mlp_bias: bool = False
+    dtype: str = "bfloat16"
+
+    @property
+    def num_key_value_groups(self) -> int:
+        return self.num_attention_heads // self.num_key_value_heads
+
+    @staticmethod
+    def from_hf_config(cfg: Any) -> "ModelConfig":
+        """Build from a HF PretrainedConfig (or a dict loaded from config.json)."""
+        if not isinstance(cfg, dict):
+            cfg = cfg.to_dict()
+        head_dim = cfg.get("head_dim") or cfg["hidden_size"] // cfg["num_attention_heads"]
+        return ModelConfig(
+            model_type=cfg.get("model_type", "llama"),
+            vocab_size=cfg["vocab_size"],
+            hidden_size=cfg["hidden_size"],
+            intermediate_size=cfg["intermediate_size"],
+            num_hidden_layers=cfg["num_hidden_layers"],
+            num_attention_heads=cfg["num_attention_heads"],
+            num_key_value_heads=cfg.get("num_key_value_heads", cfg["num_attention_heads"]),
+            head_dim=head_dim,
+            max_position_embeddings=cfg.get("max_position_embeddings", 8192),
+            rope_theta=cfg.get("rope_theta", 10000.0),
+            rms_norm_eps=cfg.get("rms_norm_eps", 1e-5),
+            sliding_window=cfg.get("sliding_window"),
+            tie_word_embeddings=cfg.get("tie_word_embeddings", False),
+            attention_bias=cfg.get("attention_bias", False),
+            mlp_bias=cfg.get("mlp_bias", False),
+        )
+
+    @staticmethod
+    def from_json(path: str) -> "ModelConfig":
+        with open(path) as f:
+            return ModelConfig.from_hf_config(json.load(f))
+
+
+# ---------------------------------------------------------------------------
+# Compression configuration
+# ---------------------------------------------------------------------------
+
+# Methods on the reference scoreboard (eval.py:99-110 / monkeypatch.py:19-88).
+KNOWN_METHODS = (
+    "fullkv",
+    "snapkv",
+    "pyramidkv",
+    "h2o",
+    "streamingllm",
+    "l2norm",
+    "cam",
+    "adakv",
+    "headkv",
+    "think",
+    "random",
+)
+
+
+@dataclass(frozen=True)
+class CompressionConfig:
+    """Prefill-time KV compression policy configuration.
+
+    Semantics follow the reference clusters (pyramidkv/pyramidkv_utils.py):
+
+    * ``method``              — one of :data:`KNOWN_METHODS`.
+    * ``max_capacity_prompt`` — total retained tokens per layer (budget+window),
+                                reference default 2048 (:885) / 4096 (:909).
+    * ``window_size``         — observation window, runner sets 8 for score
+                                methods and capacity-4 for streamingllm
+                                (run_longbench.py:220-223).
+    * ``kernel_size``/``pooling`` — 1-D pooling over scores (:328-333);
+                                runner uses 7/"maxpool" (run_longbench.py:236-237).
+    * ``beta``                — PyramidKV pyramid shape parameter (:174).
+    * ``skip_layers``         — L2Norm layers left uncompressed (:961-962).
+    * ``start_budget_ratio``  — CAM sink budget ratio (:432).
+    * ``floor_ratio``/``normalize`` — AdaKV budget floor / score normalization
+                                (:626-636, :709-711).
+    * ``head_capacity``       — HeadKV per-(layer,head) budgets, precomputed
+                                offline (run_longbench.py:225-234); tuple of
+                                tuples so the config stays hashable.
+    * ``pruning_ratio``/``recent_size`` — ThinK channel pruning (:13-26, :349-391).
+    * ``merge``               — LOOK-M pivot merging of evicted KV (:119-170).
+    * ``group_reduce``        — TPU extension: "none" reproduces the reference
+                                exactly (compression after repeat_kv, cache
+                                stores one entry-set per *query* head,
+                                llama_model.py:158-167); "mean"/"max" aggregate
+                                scores within a GQA group and keep the cache at
+                                num_key_value_heads for real GQA memory savings.
+    * ``head_capacity_bound_factor`` — static upper bound (× base capacity) on
+                                any single head's adaptive budget for
+                                AdaKV/HeadKV; needed for static shapes on TPU.
+    """
+
+    method: str = "fullkv"
+    max_capacity_prompt: int = 2048
+    window_size: int = 32
+    kernel_size: int = 7
+    pooling: str = "maxpool"  # "avgpool" | "maxpool"
+    beta: int = 20
+    skip_layers: Tuple[int, ...] = (0, 1)
+    start_budget_ratio: float = 0.1
+    floor_ratio: float = 0.2
+    normalize: bool = True
+    head_capacity: Optional[Tuple[Tuple[int, ...], ...]] = None
+    head_beta: float = 1.01
+    pruning_ratio: float = 0.4
+    recent_size: int = 32
+    merge: Optional[str] = None  # None | "pivot"
+    group_reduce: str = "none"  # "none" | "mean" | "max" | "sum"
+    head_capacity_bound_factor: float = 2.0
+
+    def __post_init__(self):
+        if self.method not in KNOWN_METHODS:
+            raise ValueError(f"unknown method {self.method!r}; expected one of {KNOWN_METHODS}")
+        if self.method != "fullkv" and self.max_capacity_prompt - self.window_size <= 0 \
+                and self.method not in ("l2norm",):
+            raise ValueError("max_capacity_prompt must exceed window_size")
+        if self.pooling not in ("avgpool", "maxpool"):
+            raise ValueError("pooling must be avgpool or maxpool")
+
+    @property
+    def base_capacity(self) -> int:
+        """Retained non-window budget (reference ``max_capacity_prompt - window``)."""
+        return self.max_capacity_prompt - self.window_size
+
+    def layer_capacity(self, num_layers: int, prefill_len: int) -> int:
+        """Static per-layer cache capacity needed to hold this policy's output.
+
+        For most methods this is ``max_capacity_prompt`` (or the prompt length
+        if shorter — the reference's no-compress branch,
+        pyramidkv_utils.py:314-315).  PyramidKV's top layers get up to
+        ``max_num`` (:205-215); AdaKV heads can exceed the base budget, bounded
+        here by ``head_capacity_bound_factor``; L2Norm skip-layers retain the
+        full prompt.
+        """
+        if self.method == "fullkv":
+            return prefill_len
+        cap = self.max_capacity_prompt
+        if prefill_len <= cap:
+            return prefill_len
+        if self.method == "pyramidkv":
+            base = self.base_capacity
+            min_num = base // self.beta
+            max_num = base * 2 - min_num
+            max_num = min(max_num, prefill_len - self.window_size)
+            return max_num + self.window_size
+        if self.method in ("adakv", "headkv"):
+            bound = int(math.ceil(self.base_capacity * self.head_capacity_bound_factor))
+            bound = min(bound, prefill_len - self.window_size)
+            return bound + self.window_size
+        if self.method == "l2norm" and self.skip_layers:
+            return prefill_len  # skip layers keep everything
+        return cap
+
+
+# ---------------------------------------------------------------------------
+# Quantized-cache configuration
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class QuantConfig:
+    """Quantized KV cache (reference: pyramidkv/quantcache.py, HQQ-backed).
+
+    TPU-native design difference (SURVEY.md §7.4): instead of dequantizing the
+    whole cache every decode step (quantcache.py:77-82), KV is stored
+    group-wise quantized and dequant is fused into the decode attention matmul
+    by XLA / the Pallas decode kernel.  Outliers are absorbed by per-group
+    scales rather than a sparse scatter (quantcache.py:51-58).
+    """
+
+    nbits: int = 8  # 4 or 8
+    q_group_size: int = 64  # groups along head_dim (reference run_longbench.py:287)
+    residual_length: int = 128  # recent tokens kept in full precision
+    axis_key: int = 1
+    axis_value: int = 0
+
+    def __post_init__(self):
+        if self.nbits not in (4, 8):
+            raise ValueError("TPU quantized cache supports nbits in {4, 8}")
+
+
+# ---------------------------------------------------------------------------
+# Generation / engine configuration
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class GenerationConfig:
+    max_new_tokens: int = 128
+    eos_token_ids: Tuple[int, ...] = ()
+    # Greedy decoding matches the reference protocol (run_longbench.py:266-275:
+    # num_beams=1, do_sample=False).
+    do_sample: bool = False
+    temperature: float = 1.0
+    min_new_tokens: int = 1  # reference min_length=context+1
+
+
+@dataclass(frozen=True)
+class ShardingConfig:
+    """Device-mesh layout. ``dp`` shards batch, ``tp`` shards heads/ffn."""
+
+    dp: int = 1
+    tp: int = 1
+    axis_names: Tuple[str, str] = ("dp", "tp")
+
+
+@dataclass(frozen=True)
+class EngineConfig:
+    model: ModelConfig = field(default_factory=ModelConfig)
+    compression: CompressionConfig = field(default_factory=CompressionConfig)
+    quant: Optional[QuantConfig] = None
+    generation: GenerationConfig = field(default_factory=GenerationConfig)
+    sharding: ShardingConfig = field(default_factory=ShardingConfig)
+    prefill_buckets: Tuple[int, ...] = (512, 1024, 2048, 4096, 8192)
+
+    def replace(self, **kw) -> "EngineConfig":
+        return dataclasses.replace(self, **kw)
+
+
+def dtype_of(cfg: ModelConfig):
+    return {"bfloat16": jnp.bfloat16, "float32": jnp.float32, "float16": jnp.float16}[cfg.dtype]

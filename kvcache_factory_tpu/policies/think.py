@@ -1,0 +1,61 @@
+"""ThinK query-driven key-channel pruning.
+
+Reference: pyramidkv/pyramidkv_utils.py:13-26 (key_pruner_query_driven) and
+:349-391 (SnapKVCluster.update_think): after SnapKV token selection, per-head
+channel saliency ``mean(q[-32:]**2) * mean(k**2)`` is computed on the
+*compressed* keys, and the lowest ``ratio`` fraction of head_dim channels is
+dropped for all but the last ``recent_size`` tokens.
+
+TPU-native representation: instead of materializing a narrower ``[*, d-k]``
+tensor plus a boolean mask consumed by a special decode forward
+(llama_model_think.py:175-181), pruned channels are *zeroed in place*.  The
+decode dot product ``q . k`` over zeroed channels is bit-identical to the
+reference's masked-query x pruned-key product, needs no special-cased
+attention, and the memory saving is realized in the quantized / Pallas cache
+path rather than by shape change.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .base import PackedKV
+
+_QUERY_WINDOW = 32  # hard-coded q[..., -32:, :] in the reference (:17)
+
+
+def think_prune_channels(
+    packed: PackedKV,
+    q: jnp.ndarray,          # [H, S, D] full prefill queries
+    true_len: jnp.ndarray,   # scalar int32
+    pruning_ratio: float,
+    recent_size: int,
+) -> PackedKV:
+    k, v, lengths = packed
+    H, C, D = k.shape
+    kdrop = int(D * pruning_ratio)
+    if kdrop == 0:
+        return packed
+
+    q_win = lax.dynamic_slice_in_dim(q, jnp.maximum(true_len - _QUERY_WINDOW, 0),
+                                     _QUERY_WINDOW, axis=1)
+    queries_norm = jnp.mean(jnp.square(q_win.astype(jnp.float32)), axis=1)  # [H, D]
+
+    row_ids = lax.broadcasted_iota(jnp.int32, (H, C), 1)
+    row_valid = (row_ids < lengths[:, None]).astype(jnp.float32)  # [H, C]
+    kf = jnp.square(k.astype(jnp.float32)) * row_valid[..., None]
+    keys_norm = jnp.sum(kf, axis=1) / jnp.maximum(
+        jnp.sum(row_valid, axis=1, keepdims=True), 1.0)  # [H, D]
+
+    saliency = queries_norm * keys_norm  # [H, D]
+    # Drop the kdrop smallest-saliency channels (reference topk largest=False).
+    _, drop_idx = lax.top_k(-saliency, kdrop)
+    keep = jnp.ones((H, D), bool).at[
+        lax.broadcasted_iota(jnp.int32, (H, kdrop), 0), drop_idx].set(False)
+
+    # Prune only non-recent rows: row < length - recent_size.
+    prune_row = row_ids < (lengths[:, None] - recent_size)  # [H, C]
+    mask = jnp.where(prune_row[..., None], keep[:, None, :], True)
+    return PackedKV(jnp.where(mask, k, jnp.zeros((), k.dtype)), v, lengths)
