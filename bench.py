@@ -1,0 +1,119 @@
+"""Headline benchmark: single-chip decode throughput with a compressed cache.
+
+Protocol: TinyLlama-1.1B-shaped Llama (bf16, random weights — the reference
+publishes no throughput numbers at all, BASELINE.md), prompt 4096 tokens,
+SnapKV compression to a 2048-token budget (the reference's headline budget,
+README.md:88), then timed greedy decode.  ``vs_baseline`` is the fraction of
+the chip's HBM-bandwidth speed-of-light for this model+cache footprint (decode
+is bandwidth-bound: every step must stream all weights + the compressed cache).
+
+Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import argparse
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from kvcache_factory_tpu.config import CompressionConfig, ModelConfig
+from kvcache_factory_tpu.models import llama
+from kvcache_factory_tpu.models.weights import init_params
+
+V5E_HBM_GBPS = 819.0  # v5e HBM bandwidth (public spec: 819 GB/s)
+
+
+def flagship():
+    return ModelConfig(
+        model_type="llama", vocab_size=32000, hidden_size=2048,
+        intermediate_size=5632, num_hidden_layers=22, num_attention_heads=32,
+        num_key_value_heads=4, head_dim=64, max_position_embeddings=8192,
+    )
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--prompt_len", type=int, default=4096)
+    ap.add_argument("--capacity", type=int, default=2048)
+    ap.add_argument("--decode_steps", type=int, default=128)
+    ap.add_argument("--batch", type=int, default=1)
+    ap.add_argument("--method", type=str, default="snapkv")
+    args = ap.parse_args()
+
+    cfg = flagship()
+    comp = CompressionConfig(method=args.method, max_capacity_prompt=args.capacity,
+                             window_size=8, kernel_size=7, pooling="maxpool")
+    S, B, steps = args.prompt_len, args.batch, args.decode_steps
+    L = cfg.num_hidden_layers
+    cache_capacity = comp.layer_capacity(L, S) + steps + 1
+
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    tokens = jnp.asarray(
+        np.random.default_rng(0).integers(0, cfg.vocab_size, (B, S)), jnp.int32)
+    true_len = jnp.full((B,), S, jnp.int32)
+
+    prefill = jax.jit(lambda p, t, tl: llama.prefill(
+        p, cfg, comp, t, tl, cache_capacity=cache_capacity))
+
+    t0 = time.perf_counter()
+    pre = prefill(params, tokens, true_len)
+    jax.block_until_ready(pre.cache.k)
+    prefill_compile_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    pre = prefill(params, tokens, true_len)
+    jax.block_until_ready(pre.cache.k)
+    prefill_s = time.perf_counter() - t0
+
+    first_tok = jnp.argmax(pre.logits_last, axis=-1).astype(jnp.int32)
+
+    def decode_n(params, tok, cache, n):
+        def body(carry, _):
+            tok, cache = carry
+            logits, cache = llama.decode_step(params, cfg, tok, cache)
+            tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            return (tok, cache), tok
+        (tok, cache), toks = jax.lax.scan(body, (tok, cache), None, length=n)
+        return toks, cache
+
+    decode = jax.jit(decode_n, static_argnames=("n",))
+    # warmup/compile
+    toks, _ = decode(params, first_tok, pre.cache, n=8)
+    jax.block_until_ready(toks)
+    t0 = time.perf_counter()
+    toks, _ = decode(params, first_tok, pre.cache, n=steps)
+    jax.block_until_ready(toks)
+    decode_s = time.perf_counter() - t0
+    toks_per_s = steps * B / decode_s
+
+    # Speed-of-light: bytes streamed per decode step / HBM bandwidth.
+    param_bytes = sum(x.size * x.dtype.itemsize for x in jax.tree.leaves(params))
+    cache_heads = int(pre.cache.k.shape[2])
+    cache_bytes = 2 * L * B * cache_heads * cache_capacity * cfg.head_dim * 2
+    sol_step_s = (param_bytes + cache_bytes) / (V5E_HBM_GBPS * 1e9)
+    sol_toks_per_s = B / sol_step_s
+
+    result = {
+        "metric": "decode_tokens_per_sec_chip",
+        "value": round(toks_per_s, 2),
+        "unit": "tok/s",
+        "vs_baseline": round(toks_per_s / sol_toks_per_s, 4),
+    }
+    extra = {
+        "prefill_s": round(prefill_s, 3),
+        "prefill_compile_s": round(prefill_compile_s, 1),
+        "decode_step_ms": round(1e3 * decode_s / steps, 3),
+        "sol_toks_per_s": round(sol_toks_per_s, 1),
+        "param_gb": round(param_bytes / 1e9, 2),
+        "cache_gb": round(cache_bytes / 1e9, 2),
+        "config": {"prompt": S, "capacity": args.capacity, "batch": B,
+                   "method": args.method, "model": "tinyllama-1.1b-shape"},
+    }
+    import sys
+    print(json.dumps(extra), file=sys.stderr)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

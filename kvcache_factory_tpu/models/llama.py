@@ -1,0 +1,265 @@
+"""Llama / Mistral decoder in functional JAX — one parameterized forward.
+
+Replaces the reference's 6700 lines of hand-copied HF forwards
+(pyramidkv/llama_model.py, mistral_model.py: 18+ specialized functions per
+model x backend x method, SURVEY.md §2.4) with a single forward whose
+compression policy is a typed config argument.  Layers are stacked and
+iterated with ``lax.scan`` so compile time is O(1) in depth and the whole
+model jits/pjits as one program.
+
+Mistral differs from Llama only by the optional sliding-window attention mask
+(mistral_model.py:2511-2535); both families share RMSNorm + RoPE + GQA +
+SwiGLU.  Weights layout: a dict of stacked arrays, see ``models/weights.py``.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..cache.kv_cache import KVCache, append_layer, init_cache, valid_mask
+from ..config import CompressionConfig, ModelConfig, dtype_of
+from ..policies.methods import LayerContext, compress_prefill
+
+NEG_INF = float(jnp.finfo(jnp.float32).min)
+
+
+# ---------------------------------------------------------------------------
+# Building blocks
+# ---------------------------------------------------------------------------
+
+
+def rms_norm(x: jnp.ndarray, weight: jnp.ndarray, eps: float) -> jnp.ndarray:
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(jnp.square(xf), axis=-1, keepdims=True)
+    normed = xf * lax.rsqrt(var + eps)
+    return (normed * weight.astype(jnp.float32)).astype(x.dtype)
+
+
+def rope_tables(cfg: ModelConfig, max_len: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """cos/sin tables [max_len, head_dim] (HF half-rotation convention)."""
+    d = cfg.head_dim
+    inv_freq = 1.0 / (cfg.rope_theta ** (jnp.arange(0, d, 2, dtype=jnp.float32) / d))
+    t = jnp.arange(max_len, dtype=jnp.float32)
+    freqs = jnp.outer(t, inv_freq)  # [max_len, d/2]
+    emb = jnp.concatenate([freqs, freqs], axis=-1)
+    return jnp.cos(emb), jnp.sin(emb)
+
+
+def apply_rope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndarray:
+    """x: [B, H, T, D]; cos/sin: [B, T, D] or [T, D]."""
+    if cos.ndim == 2:
+        cos = cos[None]
+        sin = sin[None]
+    cos = cos[:, None]  # [B, 1, T, D]
+    sin = sin[:, None]
+    half = x.shape[-1] // 2
+    x1, x2 = x[..., :half], x[..., half:]
+    rotated = jnp.concatenate([-x2, x1], axis=-1)
+    return (x.astype(jnp.float32) * cos + rotated.astype(jnp.float32) * sin).astype(x.dtype)
+
+
+def _split_heads(x: jnp.ndarray, n_heads: int, head_dim: int) -> jnp.ndarray:
+    B, T, _ = x.shape
+    return x.reshape(B, T, n_heads, head_dim).transpose(0, 2, 1, 3)
+
+
+def _merge_heads(x: jnp.ndarray) -> jnp.ndarray:
+    B, H, T, D = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(B, T, H * D)
+
+
+def grouped_attention(
+    q: jnp.ndarray,       # [B, Hq, Tq, D]
+    k: jnp.ndarray,       # [B, Hk, Tk, D]  (Hk divides Hq)
+    v: jnp.ndarray,       # [B, Hk, Tk, D]
+    mask: jnp.ndarray,    # broadcastable to [B, Hq, Tq, Tk] boolean (True=keep)
+) -> jnp.ndarray:
+    """GQA attention without materializing repeated K/V (repeat_kv stays
+    virtual — contrast llama_model.py:158-159 which tiles K/V to Hq)."""
+    B, Hq, Tq, D = q.shape
+    Hk = k.shape[1]
+    G = Hq // Hk
+    qg = q.reshape(B, Hk, G, Tq, D)
+    logits = jnp.einsum("bhgqd,bhkd->bhgqk", qg.astype(jnp.float32),
+                        k.astype(jnp.float32),
+                        preferred_element_type=jnp.float32)
+    logits = logits / jnp.sqrt(jnp.asarray(D, jnp.float32))
+    maskg = mask.reshape(B, Hk, G, *mask.shape[2:]) if mask.shape[1] == Hq \
+        else mask[:, :, None]
+    logits = jnp.where(maskg, logits, NEG_INF)
+    probs = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("bhgqk,bhkd->bhgqd", probs, v.astype(jnp.float32),
+                     preferred_element_type=jnp.float32)
+    return out.reshape(B, Hq, Tq, D).astype(q.dtype)
+
+
+def swiglu(x: jnp.ndarray, gate_w: jnp.ndarray, up_w: jnp.ndarray,
+           down_w: jnp.ndarray) -> jnp.ndarray:
+    g = jax.nn.silu(x @ gate_w)
+    return (g * (x @ up_w)) @ down_w
+
+
+# ---------------------------------------------------------------------------
+# Forward passes
+# ---------------------------------------------------------------------------
+
+
+class PrefillResult(NamedTuple):
+    logits_last: jnp.ndarray           # [B, V] logits at each sequence's last token
+    cache: KVCache
+    all_logits: Optional[jnp.ndarray]  # [B, S, V] (only when requested)
+
+
+def _causal_mask(S: int, true_len: jnp.ndarray, sliding_window: Optional[int]):
+    """[B, 1, S, S] boolean prefill mask (causal + right-pad + window)."""
+    rows = lax.broadcasted_iota(jnp.int32, (S, S), 0)
+    cols = lax.broadcasted_iota(jnp.int32, (S, S), 1)
+    m = cols <= rows
+    if sliding_window is not None:
+        m = m & (cols > rows - sliding_window)
+    m = m[None] & (cols[None] < true_len[:, None, None])
+    return m[:, None]
+
+
+def prefill(
+    params: dict,
+    cfg: ModelConfig,
+    comp: CompressionConfig,
+    tokens: jnp.ndarray,     # [B, S] int32, right-padded
+    true_len: jnp.ndarray,   # [B] int32
+    cache_capacity: int,     # static: policy capacity + decode headroom
+    *,
+    rng: Optional[jax.Array] = None,
+    head_capacity: Optional[jnp.ndarray] = None,  # [L, H] int32 (HeadKV)
+    return_all_logits: bool = False,
+) -> PrefillResult:
+    """Full prefill: attention over the uncompressed prompt (reference runs
+    flash attention over full K/V, llama_model.py:2243-2245), compression hook
+    between QKV computation and the cache write (SURVEY.md §1 key fact)."""
+    B, S = tokens.shape
+    L = cfg.num_hidden_layers
+    dtype = dtype_of(cfg)
+    Hq, Hkv, D = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
+
+    x = params["embed"][tokens].astype(dtype)  # [B, S, hidden]
+    cos, sin = rope_tables(cfg, S)
+    mask = _causal_mask(S, true_len, cfg.sliding_window)
+
+    cache_heads = Hkv if (comp.method == "fullkv" or comp.group_reduce != "none") else Hq
+    policy_capacity = comp.layer_capacity(L, S)
+    assert cache_capacity >= policy_capacity, (
+        f"cache capacity {cache_capacity} < policy capacity {policy_capacity}")
+
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+    if head_capacity is None:
+        head_capacity = jnp.zeros((L, cache_heads), jnp.int32)
+
+    def layer_fn(x, scanned):
+        lp, layer_idx, hc, key = scanned
+        h = rms_norm(x, lp["input_norm"], cfg.rms_norm_eps)
+        q = _split_heads(h @ lp["q_proj"], Hq, D)
+        k = _split_heads(h @ lp["k_proj"], Hkv, D)
+        v = _split_heads(h @ lp["v_proj"], Hkv, D)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+
+        attn = grouped_attention(q, k, v, mask)
+        h = _merge_heads(attn) @ lp["o_proj"]
+        x = x + h
+        h2 = rms_norm(x, lp["post_norm"], cfg.rms_norm_eps)
+        x = x + swiglu(h2, lp["gate_proj"], lp["up_proj"], lp["down_proj"])
+
+        # --- compression hook: what gets WRITTEN to the cache ---
+        ctx = LayerContext(layer_idx, hc if comp.method == "headkv" else None,
+                           key if comp.method in ("cam", "random") else None)
+        packed = compress_prefill(comp, L, policy_capacity, k, v, q,
+                                  true_len, ctx)
+        pad = cache_capacity - policy_capacity
+        k_layer = jnp.pad(packed.k, ((0, 0), (0, 0), (0, pad), (0, 0))).astype(dtype)
+        v_layer = jnp.pad(packed.v, ((0, 0), (0, 0), (0, pad), (0, 0))).astype(dtype)
+        return x, (k_layer, v_layer, packed.lengths)
+
+    layer_ids = jnp.arange(L, dtype=jnp.int32)
+    keys = jax.random.split(rng, L)
+    x, (k_all, v_all, len_all) = lax.scan(
+        layer_fn, x, (params["layers"], layer_ids, head_capacity, keys))
+
+    x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
+    lm_head = params["lm_head"]
+
+    # Logits at each example's last valid token.
+    last_idx = jnp.maximum(true_len - 1, 0)
+    x_last = jnp.take_along_axis(x, last_idx[:, None, None], axis=1)[:, 0]
+    logits_last = (x_last @ lm_head).astype(jnp.float32)
+
+    all_logits = (x @ lm_head).astype(jnp.float32) if return_all_logits else None
+
+    cache = KVCache(k=k_all, v=v_all, lengths=len_all,
+                    positions=true_len.astype(jnp.int32))
+    return PrefillResult(logits_last, cache, all_logits)
+
+
+def decode_step(
+    params: dict,
+    cfg: ModelConfig,
+    tokens: jnp.ndarray,  # [B] int32 current input token
+    cache: KVCache,
+) -> Tuple[jnp.ndarray, KVCache]:
+    """One decode step: append to cache at per-head lengths, attend over the
+    compressed cache (reference decode branch llama_model.py:2205-2208)."""
+    B = tokens.shape[0]
+    L = cfg.num_hidden_layers
+    dtype = dtype_of(cfg)
+    Hq, Hkv, D = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
+    C = cache.capacity
+    cache_heads = cache.k.shape[2]
+
+    x = params["embed"][tokens].astype(dtype)[:, None]  # [B, 1, hidden]
+    # RoPE position = uncompressed token count (reference _seen_tokens sync).
+    pos = cache.positions  # [B]
+    d = cfg.head_dim
+    inv_freq = 1.0 / (cfg.rope_theta ** (jnp.arange(0, d, 2, dtype=jnp.float32) / d))
+    freqs = pos[:, None].astype(jnp.float32) * inv_freq[None]  # [B, d/2]
+    emb = jnp.concatenate([freqs, freqs], axis=-1)[:, None]  # [B, 1, d]
+    cos, sin = jnp.cos(emb), jnp.sin(emb)
+
+    def layer_fn(x, scanned):
+        lp, k_cache, v_cache, lens = scanned
+        h = rms_norm(x, lp["input_norm"], cfg.rms_norm_eps)
+        q = _split_heads(h @ lp["q_proj"], Hq, D)
+        k = _split_heads(h @ lp["k_proj"], Hkv, D)
+        v = _split_heads(h @ lp["v_proj"], Hkv, D)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+
+        if cache_heads == Hq and Hq != Hkv:
+            G = Hq // Hkv
+            k = jnp.repeat(k, G, axis=1)
+            v = jnp.repeat(v, G, axis=1)
+
+        k_cache, v_cache, lens = append_layer(
+            k_cache, v_cache, lens, k.astype(dtype), v.astype(dtype))
+        mask = valid_mask(lens, C)[:, :, None, :]  # [B, H, 1, C]
+
+        attn = grouped_attention(q, k_cache, v_cache, mask)
+        h = _merge_heads(attn) @ lp["o_proj"]
+        x = x + h
+        h2 = rms_norm(x, lp["post_norm"], cfg.rms_norm_eps)
+        x = x + swiglu(h2, lp["gate_proj"], lp["up_proj"], lp["down_proj"])
+        return x, (k_cache, v_cache, lens)
+
+    x, (k_all, v_all, len_all) = lax.scan(
+        layer_fn, x, (params["layers"], cache.k, cache.v, cache.lengths))
+
+    x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
+    logits = (x[:, 0] @ params["lm_head"]).astype(jnp.float32)  # [B, V]
+
+    new_cache = KVCache(k=k_all, v=v_all, lengths=len_all,
+                       positions=cache.positions + 1)
+    return logits, new_cache

@@ -1,0 +1,140 @@
+"""Parameter initialization and HF checkpoint loading.
+
+Weights layout (all matrices stored input-major so forward is ``x @ W``):
+
+    {
+      "embed":      [V, hidden],
+      "layers": {   # every leaf stacked over layers on axis 0 for lax.scan
+        "q_proj":   [L, hidden, Hq*D],   "k_proj": [L, hidden, Hkv*D],
+        "v_proj":   [L, hidden, Hkv*D],  "o_proj": [L, Hq*D, hidden],
+        "gate_proj":[L, hidden, ffn],    "up_proj": [L, hidden, ffn],
+        "down_proj":[L, ffn, hidden],
+        "input_norm":[L, hidden],        "post_norm": [L, hidden],
+      },
+      "final_norm": [hidden],
+      "lm_head":    [hidden, V],
+    }
+
+Loading sources: a HF model directory (config.json + *.safetensors, the same
+artifacts the reference consumes via AutoModelForCausalLM,
+run_longbench.py:386-393) or an in-memory torch ``state_dict`` (used by the
+parity tests against tiny random HF models).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import ModelConfig
+
+_LAYER_MAP = {
+    "q_proj": "self_attn.q_proj.weight",
+    "k_proj": "self_attn.k_proj.weight",
+    "v_proj": "self_attn.v_proj.weight",
+    "o_proj": "self_attn.o_proj.weight",
+    "gate_proj": "mlp.gate_proj.weight",
+    "up_proj": "mlp.up_proj.weight",
+    "down_proj": "mlp.down_proj.weight",
+    "input_norm": "input_layernorm.weight",
+    "post_norm": "post_attention_layernorm.weight",
+}
+
+
+def init_params(cfg: ModelConfig, key: jax.Array, dtype=None) -> Dict[str, Any]:
+    """Random init (normal / sqrt(fan_in)) — for benches and tests."""
+    dtype = dtype or jnp.bfloat16
+    h, ffn = cfg.hidden_size, cfg.intermediate_size
+    qd, kvd = cfg.num_attention_heads * cfg.head_dim, cfg.num_key_value_heads * cfg.head_dim
+    L, V = cfg.num_hidden_layers, cfg.vocab_size
+    ks = jax.random.split(key, 9)
+
+    def mat(k, shape):
+        return (jax.random.normal(k, shape, jnp.float32) / np.sqrt(shape[0])).astype(dtype)
+
+    params = {
+        "embed": mat(ks[0], (V, h)),
+        "layers": {
+            "q_proj": _stacked(ks[1], L, (h, qd), dtype),
+            "k_proj": _stacked(ks[2], L, (h, kvd), dtype),
+            "v_proj": _stacked(ks[3], L, (h, kvd), dtype),
+            "o_proj": _stacked(ks[4], L, (qd, h), dtype),
+            "gate_proj": _stacked(ks[5], L, (h, ffn), dtype),
+            "up_proj": _stacked(ks[6], L, (h, ffn), dtype),
+            "down_proj": _stacked(ks[7], L, (ffn, h), dtype),
+            "input_norm": jnp.ones((L, h), dtype),
+            "post_norm": jnp.ones((L, h), dtype),
+        },
+        "final_norm": jnp.ones((h,), dtype),
+        "lm_head": mat(ks[8], (h, V)),
+    }
+    return params
+
+
+def _stacked(key, L, shape, dtype):
+    return (jax.random.normal(key, (L,) + shape, jnp.float32)
+            / np.sqrt(shape[0])).astype(dtype)
+
+
+def params_from_state_dict(cfg: ModelConfig, state: Dict[str, Any],
+                           dtype=jnp.float32) -> Dict[str, Any]:
+    """Convert a HF Llama/Mistral ``state_dict``-like mapping (name -> numpy
+    array, HF [out, in] layout) to the stacked JAX layout."""
+
+    def get(name):
+        arr = state[name]
+        if hasattr(arr, "detach"):  # torch tensor
+            arr = arr.detach().to("cpu").float().numpy()
+        return np.asarray(arr)
+
+    L = cfg.num_hidden_layers
+    layers = {}
+    for ours, theirs in _LAYER_MAP.items():
+        mats = []
+        for l in range(L):
+            w = get(f"model.layers.{l}.{theirs}")
+            if w.ndim == 2:
+                w = w.T  # HF [out, in] -> ours [in, out]
+            mats.append(w)
+        layers[ours] = jnp.asarray(np.stack(mats), dtype)
+
+    embed = get("model.embed_tokens.weight")
+    if cfg.tie_word_embeddings or "lm_head.weight" not in state:
+        lm_head = embed.T
+    else:
+        lm_head = get("lm_head.weight").T
+    return {
+        "embed": jnp.asarray(embed, dtype),
+        "layers": layers,
+        "final_norm": jnp.asarray(get("model.norm.weight"), dtype),
+        "lm_head": jnp.asarray(lm_head, dtype),
+    }
+
+
+def load_params(model_dir: str, cfg: Optional[ModelConfig] = None,
+                dtype=jnp.bfloat16):
+    """Load from a HF checkpoint directory (safetensors shards)."""
+    from safetensors import safe_open
+
+    if cfg is None:
+        cfg = ModelConfig.from_json(os.path.join(model_dir, "config.json"))
+
+    index_path = os.path.join(model_dir, "model.safetensors.index.json")
+    if os.path.exists(index_path):
+        with open(index_path) as f:
+            weight_map = json.load(f)["weight_map"]
+        shards = sorted(set(weight_map.values()))
+    else:
+        shards = [f for f in os.listdir(model_dir) if f.endswith(".safetensors")]
+
+    state: Dict[str, np.ndarray] = {}
+    for shard in shards:
+        with safe_open(os.path.join(model_dir, shard), framework="np") as f:
+            for name in f.keys():
+                state[name] = f.get_tensor(name)
+    return params_from_state_dict(cfg, state, dtype), cfg

@@ -1,0 +1,86 @@
+"""Device mesh + sharding layouts.
+
+The reference has no real distribution story — multi-GPU is HF accelerate
+layer placement (run_longbench.py:390) and the ``tensor_parallel`` import is
+dead code (run_needle_in_haystack.py:21, 208; SURVEY.md §2.6).  This module is
+the TPU-native replacement: a ``(dp, tp)`` mesh where ``dp`` shards the batch
+(data parallel over ICI/DCN) and ``tp`` shards attention heads and the FFN
+(tensor parallel over ICI), with the KV cache sharded over its head axis so
+decode attention needs no collective at all and only the output projection /
+FFN reductions all-reduce over ``tp``.
+
+GQA note (SURVEY.md §2.6): with reference-parity compression
+(``group_reduce="none"``) the cache stores num_attention_heads entries, so tp
+can exceed num_key_value_heads; with grouped caches tp is bounded by
+num_key_value_heads.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+from jax.experimental import mesh_utils
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import ModelConfig, ShardingConfig
+
+
+def make_mesh(cfg: ShardingConfig, devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    n = cfg.dp * cfg.tp
+    assert len(devices) >= n, f"need {n} devices, have {len(devices)}"
+    arr = mesh_utils.create_device_mesh((cfg.dp, cfg.tp), devices=devices[:n])
+    return Mesh(arr, cfg.axis_names)
+
+
+def param_specs(model_cfg: ModelConfig) -> Dict[str, Any]:
+    """PartitionSpec tree matching models/weights.py layout (Megatron-style:
+    column-parallel qkv/gate/up, row-parallel o/down, replicated norms)."""
+    return {
+        "embed": P(None, None),
+        "layers": {
+            "q_proj": P(None, None, "tp"),
+            "k_proj": P(None, None, "tp"),
+            "v_proj": P(None, None, "tp"),
+            "o_proj": P(None, "tp", None),
+            "gate_proj": P(None, None, "tp"),
+            "up_proj": P(None, None, "tp"),
+            "down_proj": P(None, "tp", None),
+            "input_norm": P(None, None),
+            "post_norm": P(None, None),
+        },
+        "final_norm": P(None),
+        "lm_head": P(None, "tp"),
+    }
+
+
+def cache_specs() -> Any:
+    """KVCache sharding: [L, B, H, C, D] — batch over dp, heads over tp."""
+    from ..cache.kv_cache import KVCache
+    return KVCache(
+        k=P(None, "dp", "tp", None, None),
+        v=P(None, "dp", "tp", None, None),
+        lengths=P(None, "dp", "tp"),
+        positions=P("dp"),
+    )
+
+
+def shard_params(params: Dict[str, Any], mesh: Mesh,
+                 model_cfg: ModelConfig) -> Dict[str, Any]:
+    specs = param_specs(model_cfg)
+
+    # PartitionSpec subclasses tuple (a pytree node), so walk by key path
+    # instead of zipping trees.
+    def place(path, x):
+        node = specs
+        for p in path:
+            node = node[p.key]
+        return jax.device_put(x, NamedSharding(mesh, node))
+
+    return jax.tree_util.tree_map_with_path(place, params)
+
+
+def data_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P("dp", None))

@@ -1,0 +1,96 @@
+"""Jitted greedy generation: prefill + while-loop decode.
+
+Behavioral contract from the reference protocol (run_longbench.py:266-275):
+greedy (num_beams=1, do_sample=False), ``min_length = context+1`` (at least
+one new token before EOS can stop generation), stop on any of
+``eos_token_ids`` or after ``max_new_tokens``.
+
+TPU design: the entire decode loop is one ``lax.while_loop`` inside a single
+jit — no per-token Python dispatch (the reference pays HF ``generate``'s
+Python loop + per-layer monkeypatched forward every token).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..cache.kv_cache import KVCache
+from ..config import CompressionConfig, GenerationConfig, ModelConfig
+from ..models import llama
+
+
+class GenerateResult(NamedTuple):
+    tokens: jnp.ndarray      # [B, max_new_tokens] generated ids (pad after EOS)
+    num_tokens: jnp.ndarray  # [B] count of valid generated tokens
+    cache: KVCache
+
+
+def greedy_sample(logits: jnp.ndarray) -> jnp.ndarray:
+    return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("model_cfg", "comp_cfg", "gen_cfg", "cache_capacity",
+                     "return_all_logits"),
+)
+def generate(
+    params: dict,
+    model_cfg: ModelConfig,
+    comp_cfg: CompressionConfig,
+    gen_cfg: GenerationConfig,
+    tokens: jnp.ndarray,      # [B, S] right-padded prompt
+    true_len: jnp.ndarray,    # [B]
+    cache_capacity: int,
+    rng: Optional[jax.Array] = None,
+    head_capacity: Optional[jnp.ndarray] = None,
+    return_all_logits: bool = False,
+) -> GenerateResult:
+    B, S = tokens.shape
+    max_new = gen_cfg.max_new_tokens
+
+    pre = llama.prefill(params, model_cfg, comp_cfg, tokens, true_len,
+                        cache_capacity, rng=rng, head_capacity=head_capacity,
+                        return_all_logits=return_all_logits)
+    first_tok = greedy_sample(pre.logits_last)  # [B]
+
+    eos = jnp.asarray(list(gen_cfg.eos_token_ids) or [-1], jnp.int32)
+
+    def is_eos(tok):
+        return jnp.any(tok[:, None] == eos[None, :], axis=-1)
+
+    out_buf = jnp.zeros((B, max_new), jnp.int32)
+    out_buf = out_buf.at[:, 0].set(first_tok)
+    # min_new_tokens=1 per reference min_length=ctx+1: the first token is
+    # always emitted; a first-token EOS still counts but stops the loop.
+    done0 = is_eos(first_tok) & (gen_cfg.min_new_tokens <= 1)
+
+    class _State(NamedTuple):
+        step: jnp.ndarray       # next output slot to write
+        cur: jnp.ndarray        # [B] last emitted token (decoder input)
+        done: jnp.ndarray       # [B] bool
+        num: jnp.ndarray        # [B] valid generated tokens
+        out: jnp.ndarray        # [B, max_new]
+        cache: KVCache
+
+    def cond(s: _State):
+        return (s.step < max_new) & jnp.logical_not(jnp.all(s.done))
+
+    def body(s: _State):
+        logits, cache = llama.decode_step(params, model_cfg, s.cur, s.cache)
+        nxt = greedy_sample(logits)
+        out = s.out.at[:, s.step].set(jnp.where(s.done, 0, nxt))
+        num = s.num + jnp.where(s.done, 0, 1)
+        newly_done = is_eos(nxt) & (s.step + 1 >= gen_cfg.min_new_tokens)
+        cur = jnp.where(s.done, s.cur, nxt)
+        return _State(s.step + 1, cur, s.done | newly_done, num, out, cache)
+
+    init = _State(jnp.asarray(1), first_tok, done0,
+                  jnp.ones((B,), jnp.int32), out_buf, pre.cache)
+    final = lax.while_loop(cond, body, init)
+    return GenerateResult(final.out, final.num, final.cache)

@@ -1,0 +1,165 @@
+"""Logit & generation parity vs HuggingFace transformers (tiny random models).
+
+The reference defers all modeling to HF (run_longbench.py:386) — our from-
+scratch JAX forward must match HF's Llama/Mistral numerics.  Strategy: build
+tiny randomly-initialized HF models locally (no downloads), convert their
+state_dict, and compare fp32 logits and greedy continuations.
+"""
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from kvcache_factory_tpu.config import CompressionConfig, GenerationConfig, ModelConfig
+from kvcache_factory_tpu.models import llama as jl
+from kvcache_factory_tpu.models.weights import params_from_state_dict
+from kvcache_factory_tpu.runtime import generate
+
+
+def tiny_hf_llama(seed=0, sliding_window=None):
+    from transformers import LlamaConfig, LlamaForCausalLM, MistralConfig, MistralForCausalLM
+    torch.manual_seed(seed)
+    kw = dict(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=4, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=512, rope_theta=10000.0, rms_norm_eps=1e-5,
+        tie_word_embeddings=False, attention_bias=False,
+    )
+    if sliding_window is None:
+        hf_cfg = LlamaConfig(**kw)
+        model = LlamaForCausalLM(hf_cfg)
+    else:
+        hf_cfg = MistralConfig(**kw, sliding_window=sliding_window)
+        model = MistralForCausalLM(hf_cfg)
+    model.eval()
+    cfg = ModelConfig.from_hf_config(hf_cfg)
+    cfg = type(cfg)(**{**cfg.__dict__, "dtype": "float32"})
+    params = params_from_state_dict(cfg, model.state_dict(), jnp.float32)
+    return model, cfg, params
+
+
+FULL = CompressionConfig(method="fullkv")
+
+
+@pytest.fixture(scope="module")
+def llama_setup():
+    return tiny_hf_llama(0)
+
+
+def test_prefill_logits_match_hf(llama_setup):
+    model, cfg, params = llama_setup
+    B, S = 2, 48
+    rng = np.random.default_rng(0)
+    toks = rng.integers(0, cfg.vocab_size, size=(B, S))
+    with torch.no_grad():
+        hf_logits = model(torch.tensor(toks)).logits.numpy()
+
+    res = jl.prefill(params, cfg, FULL, jnp.asarray(toks, jnp.int32),
+                     jnp.asarray([S, S], jnp.int32), cache_capacity=S,
+                     return_all_logits=True)
+    np.testing.assert_allclose(np.asarray(res.all_logits), hf_logits,
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_prefill_right_padding_invariant(llama_setup):
+    model, cfg, params = llama_setup
+    S, S_pad = 40, 64
+    rng = np.random.default_rng(1)
+    toks = rng.integers(0, cfg.vocab_size, size=(1, S))
+    toks_padded = np.pad(toks, ((0, 0), (0, S_pad - S)))
+
+    exact = jl.prefill(params, cfg, FULL, jnp.asarray(toks, jnp.int32),
+                       jnp.asarray([S], jnp.int32), cache_capacity=S)
+    padded = jl.prefill(params, cfg, FULL, jnp.asarray(toks_padded, jnp.int32),
+                        jnp.asarray([S], jnp.int32), cache_capacity=S_pad)
+    np.testing.assert_allclose(np.asarray(exact.logits_last),
+                               np.asarray(padded.logits_last), rtol=1e-5, atol=1e-5)
+
+
+def test_greedy_generation_matches_hf(llama_setup):
+    model, cfg, params = llama_setup
+    S, new = 32, 12
+    rng = np.random.default_rng(2)
+    toks = rng.integers(0, cfg.vocab_size, size=(1, S))
+    with torch.no_grad():
+        hf_out = model.generate(torch.tensor(toks), max_new_tokens=new,
+                                do_sample=False, num_beams=1,
+                                pad_token_id=0, eos_token_id=None)
+    hf_new = hf_out[0, S:].numpy()
+
+    gen_cfg = GenerationConfig(max_new_tokens=new, eos_token_ids=())
+    res = generate(params, cfg, FULL, gen_cfg, jnp.asarray(toks, jnp.int32),
+                   jnp.asarray([S], jnp.int32), cache_capacity=S + new)
+    np.testing.assert_array_equal(np.asarray(res.tokens)[0], hf_new)
+    assert int(res.num_tokens[0]) == new
+
+
+def test_mistral_sliding_window_matches_hf():
+    model, cfg, params = tiny_hf_llama(3, sliding_window=16)
+    assert cfg.sliding_window == 16
+    B, S = 1, 48  # long enough that the window matters
+    rng = np.random.default_rng(3)
+    toks = rng.integers(0, cfg.vocab_size, size=(B, S))
+    with torch.no_grad():
+        hf_logits = model(torch.tensor(toks)).logits.numpy()
+    res = jl.prefill(params, cfg, FULL, jnp.asarray(toks, jnp.int32),
+                     jnp.asarray([S], jnp.int32), cache_capacity=S,
+                     return_all_logits=True)
+    np.testing.assert_allclose(np.asarray(res.all_logits), hf_logits,
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_generate_with_snapkv_long_prompt(llama_setup):
+    """Compression path end-to-end: budget < prompt length, decode proceeds."""
+    model, cfg, params = llama_setup
+    S, new, cap = 96, 8, 32
+    rng = np.random.default_rng(4)
+    toks = rng.integers(0, cfg.vocab_size, size=(1, S))
+    comp = CompressionConfig(method="snapkv", max_capacity_prompt=cap,
+                             window_size=8, kernel_size=7, pooling="maxpool")
+    gen_cfg = GenerationConfig(max_new_tokens=new, eos_token_ids=())
+    res = generate(params, cfg, comp, gen_cfg, jnp.asarray(toks, jnp.int32),
+                   jnp.asarray([S], jnp.int32), cache_capacity=cap + new)
+    assert int(res.num_tokens[0]) == new
+    # cache lengths: cap after prefill + (new - 1) decode appends (the final
+    # emitted token is never fed back, so its KV is not appended)
+    lens = np.asarray(res.cache.lengths)
+    assert np.all(lens == cap + new - 1)
+    # positions advance past the compressed length (reference _seen_tokens sync)
+    assert int(res.cache.positions[0]) == S + new - 1
+
+
+def test_generate_with_snapkv_short_prompt_matches_fullkv(llama_setup):
+    """Prompt below budget -> no-compress branch -> identical to fullkv."""
+    model, cfg, params = llama_setup
+    S, new = 24, 8
+    rng = np.random.default_rng(5)
+    toks = rng.integers(0, cfg.vocab_size, size=(1, S))
+    gen_cfg = GenerationConfig(max_new_tokens=new, eos_token_ids=())
+    comp = CompressionConfig(method="snapkv", max_capacity_prompt=64,
+                             window_size=8)
+    full = generate(params, cfg, FULL, gen_cfg, jnp.asarray(toks, jnp.int32),
+                    jnp.asarray([S], jnp.int32), cache_capacity=S + new)
+    snap = generate(params, cfg, comp, gen_cfg, jnp.asarray(toks, jnp.int32),
+                    jnp.asarray([S], jnp.int32), cache_capacity=S + new)
+    np.testing.assert_array_equal(np.asarray(full.tokens), np.asarray(snap.tokens))
+
+
+def test_eos_stops_generation(llama_setup):
+    model, cfg, params = llama_setup
+    S = 16
+    rng = np.random.default_rng(6)
+    toks = rng.integers(0, cfg.vocab_size, size=(1, S))
+    # Find what greedy emits, then declare that token as EOS.
+    gen_cfg0 = GenerationConfig(max_new_tokens=4, eos_token_ids=())
+    first = generate(params, cfg, FULL, gen_cfg0, jnp.asarray(toks, jnp.int32),
+                     jnp.asarray([S], jnp.int32), cache_capacity=S + 4)
+    eos_tok = int(np.asarray(first.tokens)[0, 1])
+    gen_cfg = GenerationConfig(max_new_tokens=8, eos_token_ids=(eos_tok,))
+    res = generate(params, cfg, FULL, gen_cfg, jnp.asarray(toks, jnp.int32),
+                   jnp.asarray([S], jnp.int32), cache_capacity=S + 8)
+    assert int(res.num_tokens[0]) == 2  # first token + the EOS token
+    assert np.all(np.asarray(res.tokens)[0, 2:] == 0)
