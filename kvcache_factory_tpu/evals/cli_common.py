@@ -1,0 +1,90 @@
+"""Shared CLI plumbing for the evaluation runners.
+
+Replaces the reference's argparse + per-layer config injection
+(run_longbench.py:319-368, :241-261) with a typed EngineConfig resolved once
+before compilation.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+from typing import Tuple
+
+import jax
+import numpy as np
+
+from ..config import (CompressionConfig, EngineConfig, GenerationConfig,
+                      ModelConfig)
+from ..models.weights import load_params
+from ..runtime.engine import InferenceEngine
+
+
+def add_engine_args(ap: argparse.ArgumentParser) -> None:
+    ap.add_argument("--model_path", type=str, required=True,
+                    help="HF checkpoint directory (config.json + safetensors)")
+    ap.add_argument("--method", type=str, default="fullkv")
+    ap.add_argument("--max_capacity_prompts", type=int, default=512)
+    ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--merge", type=str, default=None)
+    ap.add_argument("--floor", type=float, default=0.2,
+                    help="AdaKV floor ratio")
+    ap.add_argument("--head_path", type=str,
+                    default="data/heads_score/"
+                            "Meta-Llama-3-8B-Instruct_retrieval_reasoning_heads.json")
+    ap.add_argument("--head_beta", type=float, default=1.01)
+    ap.add_argument("--recent_size", type=int, default=32)
+    ap.add_argument("--pruning_ratio", type=float, default=0.4)
+    ap.add_argument("--group_reduce", type=str, default="none",
+                    choices=["none", "mean", "max", "sum"])
+    ap.add_argument("--quant_method", type=str, default=None,
+                    choices=[None, "kvquant"])
+    ap.add_argument("--nbits", type=int, default=8)
+    ap.add_argument("--prefill_buckets", type=int, nargs="*",
+                    default=[512, 1024, 2048, 4096, 8192])
+
+
+def compression_from_args(args) -> CompressionConfig:
+    from .longbench import method_hyperparams
+    hp = method_hyperparams(args.method, args.max_capacity_prompts)
+    return CompressionConfig(
+        method=args.method.lower(),
+        max_capacity_prompt=args.max_capacity_prompts,
+        window_size=hp.get("window_size", 32),
+        kernel_size=hp.get("kernel_size", 7),
+        pooling=hp.get("pooling", "maxpool"),
+        merge=args.merge,
+        floor_ratio=args.floor,
+        recent_size=args.recent_size,
+        pruning_ratio=args.pruning_ratio,
+        group_reduce=args.group_reduce,
+    )
+
+
+def build_engine_from_args(args) -> Tuple[InferenceEngine, object, str]:
+    from transformers import AutoTokenizer
+
+    tokenizer = AutoTokenizer.from_pretrained(args.model_path, use_fast=True,
+                                              padding_side="left")
+    params, model_cfg = load_params(args.model_path)
+    comp = compression_from_args(args)
+
+    head_capacity = None
+    if args.method.lower() == "headkv":
+        from .longbench import headkv_capacities
+        head_capacity = headkv_capacities(
+            args.head_path, model_cfg.num_hidden_layers,
+            model_cfg.num_attention_heads, args.max_capacity_prompts,
+            args.head_beta)
+
+    quant = None
+    if args.quant_method == "kvquant":
+        from ..config import QuantConfig
+        quant = QuantConfig(nbits=args.nbits)
+
+    cfg = EngineConfig(model=model_cfg, compression=comp, quant=quant,
+                       prefill_buckets=tuple(args.prefill_buckets))
+    engine = InferenceEngine(params, cfg, head_capacity=head_capacity,
+                             rng=jax.random.PRNGKey(args.seed))
+    model_name = args.model_path.rstrip("/").split("/")[-1].lower()
+    return engine, tokenizer, model_name

@@ -85,15 +85,16 @@ def grouped_attention(
     Hk = k.shape[1]
     G = Hq // Hk
     qg = q.reshape(B, Hk, G, Tq, D)
-    logits = jnp.einsum("bhgqd,bhkd->bhgqk", qg.astype(jnp.float32),
-                        k.astype(jnp.float32),
+    # bf16 MXU matmul with fp32 accumulation (8x the fp32 MXU rate); softmax
+    # stays fp32 like the reference's fp32 softmax (pyramidkv_utils.py:326).
+    logits = jnp.einsum("bhgqd,bhkd->bhgqk", qg, k,
                         preferred_element_type=jnp.float32)
     logits = logits / jnp.sqrt(jnp.asarray(D, jnp.float32))
     maskg = mask.reshape(B, Hk, G, *mask.shape[2:]) if mask.shape[1] == Hq \
         else mask[:, :, None]
     logits = jnp.where(maskg, logits, NEG_INF)
     probs = jax.nn.softmax(logits, axis=-1)
-    out = jnp.einsum("bhgqk,bhkd->bhgqd", probs, v.astype(jnp.float32),
+    out = jnp.einsum("bhgqk,bhkd->bhgqd", probs.astype(v.dtype), v,
                      preferred_element_type=jnp.float32)
     return out.reshape(B, Hq, Tq, D).astype(q.dtype)
 
