@@ -26,10 +26,12 @@ V5E_HBM_GBPS = 819.0  # v5e HBM bandwidth (public spec: 819 GB/s)
 
 
 def flagship():
+    # ~1.1B params, head_dim 128 (lane-aligned for the Pallas decode kernel,
+    # matching Llama-2/3 head geometry).
     return ModelConfig(
         model_type="llama", vocab_size=32000, hidden_size=2048,
-        intermediate_size=5632, num_hidden_layers=22, num_attention_heads=32,
-        num_key_value_heads=4, head_dim=64, max_position_embeddings=8192,
+        intermediate_size=5632, num_hidden_layers=22, num_attention_heads=16,
+        num_key_value_heads=4, head_dim=128, max_position_embeddings=8192,
     )
 
 
@@ -40,11 +42,17 @@ def main():
     ap.add_argument("--decode_steps", type=int, default=128)
     ap.add_argument("--batch", type=int, default=1)
     ap.add_argument("--method", type=str, default="snapkv")
+    ap.add_argument("--nbits", type=int, default=0,
+                    help="0 = fp cache; 4/8 = quantized KV cache")
     args = ap.parse_args()
 
     cfg = flagship()
     comp = CompressionConfig(method=args.method, max_capacity_prompt=args.capacity,
                              window_size=8, kernel_size=7, pooling="maxpool")
+    quant = None
+    if args.nbits:
+        from kvcache_factory_tpu.config import QuantConfig
+        quant = QuantConfig(nbits=args.nbits)
     S, B, steps = args.prompt_len, args.batch, args.decode_steps
     L = cfg.num_hidden_layers
     cache_capacity = comp.layer_capacity(L, S) + steps + 1
@@ -55,15 +63,15 @@ def main():
     true_len = jnp.full((B,), S, jnp.int32)
 
     prefill = jax.jit(lambda p, t, tl: llama.prefill(
-        p, cfg, comp, t, tl, cache_capacity=cache_capacity))
+        p, cfg, comp, t, tl, cache_capacity=cache_capacity, quant=quant))
 
     t0 = time.perf_counter()
     pre = prefill(params, tokens, true_len)
-    jax.block_until_ready(pre.cache.k)
+    jax.block_until_ready(jax.tree.leaves(pre.cache))
     prefill_compile_s = time.perf_counter() - t0
     t0 = time.perf_counter()
     pre = prefill(params, tokens, true_len)
-    jax.block_until_ready(pre.cache.k)
+    jax.block_until_ready(jax.tree.leaves(pre.cache))
     prefill_s = time.perf_counter() - t0
 
     first_tok = jnp.argmax(pre.logits_last, axis=-1).astype(jnp.int32)
@@ -71,7 +79,8 @@ def main():
     def decode_n(params, tok, cache, n):
         def body(carry, _):
             tok, cache = carry
-            logits, cache = llama.decode_step(params, cfg, tok, cache)
+            logits, cache = llama.decode_step(params, cfg, tok, cache,
+                                              quant=quant)
             tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
             return (tok, cache), tok
         (tok, cache), toks = jax.lax.scan(body, (tok, cache), None, length=n)
@@ -89,8 +98,12 @@ def main():
 
     # Speed-of-light: bytes streamed per decode step / HBM bandwidth.
     param_bytes = sum(x.size * x.dtype.itemsize for x in jax.tree.leaves(params))
-    cache_heads = int(pre.cache.k.shape[2])
-    cache_bytes = 2 * L * B * cache_heads * cache_capacity * cfg.head_dim * 2
+    kbuf = pre.cache.qk if quant else pre.cache.k
+    cache_heads = int(kbuf.shape[2])
+    kv_elem_bytes = (0.5 if args.nbits == 4 else 1) if quant else 2
+    scale_bytes = (2 * 2 * cfg.head_dim // 64) if quant else 0  # scales+zeros bf16 per group
+    cache_bytes = int(2 * L * B * cache_heads * cache_capacity
+                      * (cfg.head_dim * kv_elem_bytes + scale_bytes))
     sol_step_s = (param_bytes + cache_bytes) / (V5E_HBM_GBPS * 1e9)
     sol_toks_per_s = B / sol_step_s
 
@@ -108,7 +121,8 @@ def main():
         "param_gb": round(param_bytes / 1e9, 2),
         "cache_gb": round(cache_bytes / 1e9, 2),
         "config": {"prompt": S, "capacity": args.capacity, "batch": B,
-                   "method": args.method, "model": "tinyllama-1.1b-shape"},
+                   "method": args.method, "nbits": args.nbits,
+                   "model": "tinyllama-1.1b-shape"},
     }
     import sys
     print(json.dumps(extra), file=sys.stderr)

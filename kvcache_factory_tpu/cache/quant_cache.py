@@ -1,0 +1,156 @@
+"""Quantized KV cache: group-wise INT8 / packed INT4 with fused dequant.
+
+Reference: pyramidkv/quantcache.py (KVQuantizedCache) — HQQ-quantized cache
+that dequantizes the ENTIRE stream every decode step (:77-82) and re-quantizes
+whole when the fp residual exceeds ``residual_length`` (:83-92), with sparse
+outlier extraction (:51-58).
+
+TPU-native redesign (SURVEY.md §7.4 / BASELINE.json north star):
+ * values are stored affine-quantized per (token, channel-group) with
+   ``q_group_size`` channels per group (matching the reference's
+   ``q_group_size=64``, run_longbench.py:287) — asymmetric min/max affine like
+   HQQ's default;
+ * each token is quantized ONCE at cache-write time (prefill pack or decode
+   append); there is no residual re-quantization stall;
+ * dequant happens inside the decode attention computation, where XLA fuses
+   convert+scale into the matmul operand stream — HBM traffic is the int8/int4
+   read (2x / 4x less than bf16), never a materialized fp cache;
+ * outliers are absorbed by the per-group min/max range rather than a sparse
+   side table (groups are small enough that a single outlier only degrades its
+   own 64 channels).
+
+INT4 packs two values per int8 byte along the channel axis.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..config import QuantConfig
+
+
+class QuantizedKVCache(NamedTuple):
+    """Stacked [L, ...] quantized cache; same control interface as KVCache."""
+
+    qk: jnp.ndarray        # [L, B, H, C, D_packed] int8
+    qv: jnp.ndarray        # [L, B, H, C, D_packed] int8
+    k_scale: jnp.ndarray   # [L, B, H, C, G] bf16
+    k_zero: jnp.ndarray    # [L, B, H, C, G] bf16
+    v_scale: jnp.ndarray   # [L, B, H, C, G] bf16
+    v_zero: jnp.ndarray    # [L, B, H, C, G] bf16
+    lengths: jnp.ndarray   # [L, B, H] int32
+    positions: jnp.ndarray  # [B] int32
+
+    @property
+    def capacity(self) -> int:
+        return self.qk.shape[3]
+
+
+def _qparams(nbits: int) -> Tuple[float, int]:
+    return float(2 ** nbits - 1), 2 ** nbits - 1
+
+
+def quantize_groups(x: jnp.ndarray, group_size: int, nbits: int):
+    """x: [..., D] -> (codes int [..., D], scale [..., G], zero [..., G]).
+
+    Affine per-group: code = round((x - min) / scale), x' = code*scale + min.
+    """
+    *lead, D = x.shape
+    G = D // group_size
+    xg = x.astype(jnp.float32).reshape(*lead, G, group_size)
+    mn = jnp.min(xg, axis=-1)
+    mx = jnp.max(xg, axis=-1)
+    qmax, _ = _qparams(nbits)
+    scale = jnp.maximum(mx - mn, 1e-8) / qmax
+    codes = jnp.clip(jnp.round((xg - mn[..., None]) / scale[..., None]),
+                     0, qmax).astype(jnp.int32)
+    return codes.reshape(*lead, D), scale, mn
+
+
+def dequantize_groups(codes: jnp.ndarray, scale: jnp.ndarray,
+                      zero: jnp.ndarray, group_size: int, dtype=jnp.bfloat16):
+    *lead, D = codes.shape
+    G = D // group_size
+    cg = codes.reshape(*lead, G, group_size).astype(jnp.float32)
+    x = cg * scale[..., None] + zero[..., None]
+    return x.reshape(*lead, D).astype(dtype)
+
+
+def pack_int4(codes: jnp.ndarray) -> jnp.ndarray:
+    """[..., D] int codes (0..15) -> [..., D//2] int8, two nibbles per byte."""
+    lo = codes[..., 0::2]
+    hi = codes[..., 1::2]
+    return (lo | (hi << 4)).astype(jnp.int8)
+
+
+def unpack_int4(packed: jnp.ndarray) -> jnp.ndarray:
+    """[..., D//2] int8 -> [..., D] int codes (0..15)."""
+    p = packed.astype(jnp.int32) & 0xFF
+    lo = p & 0xF
+    hi = (p >> 4) & 0xF
+    return jnp.stack([lo, hi], axis=-1).reshape(*packed.shape[:-1],
+                                               packed.shape[-1] * 2)
+
+
+def encode(x: jnp.ndarray, cfg: QuantConfig):
+    """[..., D] fp -> (stored int8 [..., D_packed], scale, zero)."""
+    codes, scale, zero = quantize_groups(x, cfg.q_group_size, cfg.nbits)
+    if cfg.nbits == 4:
+        stored = pack_int4(codes)
+    else:
+        stored = (codes - 128).astype(jnp.int8)  # bias to signed int8 storage
+    return stored, scale.astype(jnp.bfloat16), zero.astype(jnp.bfloat16)
+
+
+def decode_codes(stored: jnp.ndarray, cfg: QuantConfig) -> jnp.ndarray:
+    if cfg.nbits == 4:
+        return unpack_int4(stored)
+    return stored.astype(jnp.int32) + 128
+
+
+def decode_values(stored: jnp.ndarray, scale: jnp.ndarray, zero: jnp.ndarray,
+                  cfg: QuantConfig, dtype=jnp.bfloat16) -> jnp.ndarray:
+    return dequantize_groups(decode_codes(stored, cfg), scale, zero,
+                             cfg.q_group_size, dtype)
+
+
+def packed_dim(head_dim: int, cfg: QuantConfig) -> int:
+    return head_dim // 2 if cfg.nbits == 4 else head_dim
+
+
+def from_packed_prefill(k: jnp.ndarray, v: jnp.ndarray, lengths: jnp.ndarray,
+                        positions: jnp.ndarray, cfg: QuantConfig,
+                        extra_capacity: int = 0) -> QuantizedKVCache:
+    """Quantize a prefill-packed dense cache [L, B, H, C, D] (+ optional decode
+    headroom appended as zero slots)."""
+    qk, ks, kz = encode(k, cfg)
+    qv, vs, vz = encode(v, cfg)
+    if extra_capacity:
+        pad5 = ((0, 0), (0, 0), (0, 0), (0, extra_capacity), (0, 0))
+        qk, qv = jnp.pad(qk, pad5), jnp.pad(qv, pad5)
+        ks, kz = jnp.pad(ks, pad5), jnp.pad(kz, pad5)
+        vs, vz = jnp.pad(vs, pad5), jnp.pad(vz, pad5)
+    return QuantizedKVCache(qk, qv, ks, kz, vs, vz, lengths, positions)
+
+
+def append_layer_quant(layer_cache: Tuple, k_new: jnp.ndarray,
+                       v_new: jnp.ndarray, cfg: QuantConfig):
+    """Per-layer decode append: quantize the new token once, one-hot scatter
+    into the int8 buffers (same masked-write idiom as the dense cache)."""
+    qk, qv, ks, kz, vs, vz, lens = layer_cache
+    nk, nks, nkz = encode(k_new, cfg)  # [B, H, 1, D'], [B, H, 1, G]
+    nv, nvs, nvz = encode(v_new, cfg)
+    C = qk.shape[2]
+    slot = lax.broadcasted_iota(jnp.int32, qk.shape[:3], 2)
+    onehot = (slot == lens[:, :, None])[..., None]
+    qk = jnp.where(onehot, nk, qk)
+    qv = jnp.where(onehot, nv, qv)
+    ks = jnp.where(onehot, nks, ks)
+    kz = jnp.where(onehot, nkz, kz)
+    vs = jnp.where(onehot, nvs, vs)
+    vz = jnp.where(onehot, nvz, vz)
+    return (qk, qv, ks, kz, vs, vz, jnp.minimum(lens + 1, C))

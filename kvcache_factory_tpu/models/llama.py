@@ -22,7 +22,9 @@ import jax.numpy as jnp
 from jax import lax
 
 from ..cache.kv_cache import KVCache, append_layer, init_cache, valid_mask
-from ..config import CompressionConfig, ModelConfig, dtype_of
+from ..cache.quant_cache import (QuantizedKVCache, append_layer_quant,
+                                 decode_values, from_packed_prefill)
+from ..config import CompressionConfig, ModelConfig, QuantConfig, dtype_of
 from ..policies.methods import LayerContext, compress_prefill
 
 NEG_INF = float(jnp.finfo(jnp.float32).min)
@@ -138,6 +140,7 @@ def prefill(
     rng: Optional[jax.Array] = None,
     head_capacity: Optional[jnp.ndarray] = None,  # [L, H] int32 (HeadKV)
     return_all_logits: bool = False,
+    quant: Optional[QuantConfig] = None,
 ) -> PrefillResult:
     """Full prefill: attention over the uncompressed prompt (reference runs
     flash attention over full K/V, llama_model.py:2243-2245), compression hook
@@ -201,8 +204,12 @@ def prefill(
 
     all_logits = (x @ lm_head).astype(jnp.float32) if return_all_logits else None
 
-    cache = KVCache(k=k_all, v=v_all, lengths=len_all,
-                    positions=true_len.astype(jnp.int32))
+    if quant is not None:
+        cache = from_packed_prefill(k_all, v_all, len_all,
+                                    true_len.astype(jnp.int32), quant)
+    else:
+        cache = KVCache(k=k_all, v=v_all, lengths=len_all,
+                        positions=true_len.astype(jnp.int32))
     return PrefillResult(logits_last, cache, all_logits)
 
 
@@ -210,16 +217,32 @@ def decode_step(
     params: dict,
     cfg: ModelConfig,
     tokens: jnp.ndarray,  # [B] int32 current input token
-    cache: KVCache,
+    cache,  # KVCache | QuantizedKVCache
+    quant: Optional[QuantConfig] = None,
+    attn_backend: str = "auto",  # "auto" | "pallas" | "xla"
 ) -> Tuple[jnp.ndarray, KVCache]:
     """One decode step: append to cache at per-head lengths, attend over the
-    compressed cache (reference decode branch llama_model.py:2205-2208)."""
+    compressed cache (reference decode branch llama_model.py:2205-2208).
+
+    With a QuantizedKVCache, the new token is quantized once at append and the
+    cache is dequantized inside the attention computation (XLA fuses the
+    convert+scale into the matmul read — HBM streams int8/int4, contrast
+    quantcache.py:77-82 which materializes the full fp cache every step).
+    """
     B = tokens.shape[0]
     L = cfg.num_hidden_layers
     dtype = dtype_of(cfg)
     Hq, Hkv, D = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
     C = cache.capacity
-    cache_heads = cache.k.shape[2]
+    quantized = isinstance(cache, QuantizedKVCache)
+    assert quantized == (quant is not None), \
+        "quant config must be passed iff the cache is quantized"
+    cache_heads = (cache.qk if quantized else cache.k).shape[2]
+    if attn_backend == "auto":
+        attn_backend = "pallas" if jax.default_backend() in ("tpu", "axon") \
+            else "xla"
+    use_pallas = (attn_backend == "pallas" and not quantized
+                  and D % 128 == 0)  # kernel needs lane-aligned head_dim
 
     x = params["embed"][tokens].astype(dtype)[:, None]  # [B, 1, hidden]
     # RoPE position = uncompressed token count (reference _seen_tokens sync).
@@ -231,7 +254,7 @@ def decode_step(
     cos, sin = jnp.cos(emb), jnp.sin(emb)
 
     def layer_fn(x, scanned):
-        lp, k_cache, v_cache, lens = scanned
+        lp, layer_cache = scanned
         h = rms_norm(x, lp["input_norm"], cfg.rms_norm_eps)
         q = _split_heads(h @ lp["q_proj"], Hq, D)
         k = _split_heads(h @ lp["k_proj"], Hkv, D)
@@ -244,23 +267,57 @@ def decode_step(
             k = jnp.repeat(k, G, axis=1)
             v = jnp.repeat(v, G, axis=1)
 
-        k_cache, v_cache, lens = append_layer(
-            k_cache, v_cache, lens, k.astype(dtype), v.astype(dtype))
-        mask = valid_mask(lens, C)[:, :, None, :]  # [B, H, 1, C]
-
-        attn = grouped_attention(q, k_cache, v_cache, mask)
+        if quantized:
+            layer_cache = append_layer_quant(layer_cache, k, v, quant)
+            qk, qv, ks, kz, vs, vz, lens = layer_cache
+            k_read = decode_values(qk, ks, kz, quant, dtype)
+            v_read = decode_values(qv, vs, vz, quant, dtype)
+            mask = valid_mask(lens, C)[:, :, None, :]  # [B, H, 1, C]
+            attn = grouped_attention(q, k_read, v_read, mask)
+        elif use_pallas:
+            from ..ops.kernels.decode_attn import decode_attention_append
+            k_cache, v_cache, lens = layer_cache
+            Gq = Hq // cache_heads
+            out, k_cache, v_cache, lens = decode_attention_append(
+                q.reshape(B * cache_heads, Gq, D).astype(dtype),
+                k_cache.reshape(B * cache_heads, C, D),
+                v_cache.reshape(B * cache_heads, C, D),
+                lens.reshape(B * cache_heads),
+                k.astype(dtype).reshape(B * cache_heads, D),
+                v.astype(dtype).reshape(B * cache_heads, D))
+            layer_cache = (k_cache.reshape(B, cache_heads, C, D),
+                           v_cache.reshape(B, cache_heads, C, D),
+                           lens.reshape(B, cache_heads))
+            attn = out.reshape(B, Hq, 1, D)
+        else:
+            k_cache, v_cache, lens = layer_cache
+            k_cache, v_cache, lens = append_layer(
+                k_cache, v_cache, lens, k.astype(dtype), v.astype(dtype))
+            layer_cache = (k_cache, v_cache, lens)
+            mask = valid_mask(lens, C)[:, :, None, :]  # [B, H, 1, C]
+            attn = grouped_attention(q, k_cache, v_cache, mask)
         h = _merge_heads(attn) @ lp["o_proj"]
         x = x + h
         h2 = rms_norm(x, lp["post_norm"], cfg.rms_norm_eps)
         x = x + swiglu(h2, lp["gate_proj"], lp["up_proj"], lp["down_proj"])
-        return x, (k_cache, v_cache, lens)
+        return x, layer_cache
 
-    x, (k_all, v_all, len_all) = lax.scan(
-        layer_fn, x, (params["layers"], cache.k, cache.v, cache.lengths))
+    if quantized:
+        layer_caches = (cache.qk, cache.qv, cache.k_scale, cache.k_zero,
+                        cache.v_scale, cache.v_zero, cache.lengths)
+    else:
+        layer_caches = (cache.k, cache.v, cache.lengths)
+    x, out_caches = lax.scan(layer_fn, x, (params["layers"], layer_caches))
 
     x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
     logits = (x[:, 0] @ params["lm_head"]).astype(jnp.float32)  # [B, V]
 
-    new_cache = KVCache(k=k_all, v=v_all, lengths=len_all,
-                       positions=cache.positions + 1)
+    if quantized:
+        qk, qv, ks, kz, vs, vz, len_all = out_caches
+        new_cache = QuantizedKVCache(qk, qv, ks, kz, vs, vz, len_all,
+                                     cache.positions + 1)
+    else:
+        k_all, v_all, len_all = out_caches
+        new_cache = KVCache(k=k_all, v=v_all, lengths=len_all,
+                            positions=cache.positions + 1)
     return logits, new_cache

@@ -109,17 +109,15 @@ def compress_layer(
     C = capacity
     method = cfg.method
 
+    if method == "fullkv":
+        # Uncompressed cache stays at num_key_value_heads — no repeat_kv blowup.
+        lens = jnp.broadcast_to(jnp.minimum(true_len, C).astype(jnp.int32), (Hkv,))
+        return PackedKV(k[:, :C], v[:, :C], lens)
+
     per_query_cache = cfg.group_reduce == "none"
     k_sel = _repeat_heads(k, groups) if per_query_cache else k
     v_sel = _repeat_heads(v, groups) if per_query_cache else v
     H_out = k_sel.shape[0]
-
-    if method == "fullkv":
-        pos = lax.broadcasted_iota(jnp.int32, (H_out, C), 1)
-        k_out = k_sel[:, :C]
-        v_out = v_sel[:, :C]
-        lens = jnp.broadcast_to(jnp.minimum(true_len, C).astype(jnp.int32), (H_out,))
-        return PackedKV(k_out, v_out, lens)
 
     no_compress = true_len < cfg.max_capacity_prompt
     k_rep = _repeat_heads(k, groups)  # scoring always per query head

@@ -55,6 +55,7 @@ class InferenceEngine:
         res = generate(self.params, self.cfg.model, comp, gen_cfg,
                        jnp.asarray(toks), jnp.asarray([n], jnp.int32),
                        cache_capacity, rng=self.rng,
-                       head_capacity=self.head_capacity)
+                       head_capacity=self.head_capacity,
+                       quant_cfg=self.cfg.quant)
         num = int(res.num_tokens[0])
         return np.asarray(res.tokens)[0, :num].tolist()

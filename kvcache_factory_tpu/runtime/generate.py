@@ -20,7 +20,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from ..cache.kv_cache import KVCache
-from ..config import CompressionConfig, GenerationConfig, ModelConfig
+from ..config import CompressionConfig, GenerationConfig, ModelConfig, QuantConfig
 from ..models import llama
 
 
@@ -37,7 +37,7 @@ def greedy_sample(logits: jnp.ndarray) -> jnp.ndarray:
 @functools.partial(
     jax.jit,
     static_argnames=("model_cfg", "comp_cfg", "gen_cfg", "cache_capacity",
-                     "return_all_logits"),
+                     "return_all_logits", "quant_cfg"),
 )
 def generate(
     params: dict,
@@ -50,13 +50,14 @@ def generate(
     rng: Optional[jax.Array] = None,
     head_capacity: Optional[jnp.ndarray] = None,
     return_all_logits: bool = False,
+    quant_cfg: Optional[QuantConfig] = None,
 ) -> GenerateResult:
     B, S = tokens.shape
     max_new = gen_cfg.max_new_tokens
 
     pre = llama.prefill(params, model_cfg, comp_cfg, tokens, true_len,
                         cache_capacity, rng=rng, head_capacity=head_capacity,
-                        return_all_logits=return_all_logits)
+                        return_all_logits=return_all_logits, quant=quant_cfg)
     first_tok = greedy_sample(pre.logits_last)  # [B]
 
     eos = jnp.asarray(list(gen_cfg.eos_token_ids) or [-1], jnp.int32)
@@ -82,7 +83,8 @@ def generate(
         return (s.step < max_new) & jnp.logical_not(jnp.all(s.done))
 
     def body(s: _State):
-        logits, cache = llama.decode_step(params, model_cfg, s.cur, s.cache)
+        logits, cache = llama.decode_step(params, model_cfg, s.cur, s.cache,
+                                          quant=quant_cfg)
         nxt = greedy_sample(logits)
         out = s.out.at[:, s.step].set(jnp.where(s.done, 0, nxt))
         num = s.num + jnp.where(s.done, 0, 1)
