@@ -101,10 +101,12 @@ def grouped_attention(
     return out.reshape(B, Hq, Tq, D).astype(q.dtype)
 
 
-def swiglu(x: jnp.ndarray, gate_w: jnp.ndarray, up_w: jnp.ndarray,
-           down_w: jnp.ndarray) -> jnp.ndarray:
-    g = jax.nn.silu(x @ gate_w)
-    return (g * (x @ up_w)) @ down_w
+def swiglu_fused(x: jnp.ndarray, gate_up_w: jnp.ndarray,
+                 down_w: jnp.ndarray) -> jnp.ndarray:
+    gu = x @ gate_up_w
+    ffn = gate_up_w.shape[-1] // 2
+    g = jax.nn.silu(gu[..., :ffn])
+    return (g * gu[..., ffn:]) @ down_w
 
 
 # ---------------------------------------------------------------------------
@@ -167,9 +169,10 @@ def prefill(
     def layer_fn(x, scanned):
         lp, layer_idx, hc, key = scanned
         h = rms_norm(x, lp["input_norm"], cfg.rms_norm_eps)
-        q = _split_heads(h @ lp["q_proj"], Hq, D)
-        k = _split_heads(h @ lp["k_proj"], Hkv, D)
-        v = _split_heads(h @ lp["v_proj"], Hkv, D)
+        qkv = h @ lp["qkv_proj"]
+        q = _split_heads(qkv[..., :Hq * D], Hq, D)
+        k = _split_heads(qkv[..., Hq * D:(Hq + Hkv) * D], Hkv, D)
+        v = _split_heads(qkv[..., (Hq + Hkv) * D:], Hkv, D)
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
 
@@ -177,7 +180,7 @@ def prefill(
         h = _merge_heads(attn) @ lp["o_proj"]
         x = x + h
         h2 = rms_norm(x, lp["post_norm"], cfg.rms_norm_eps)
-        x = x + swiglu(h2, lp["gate_proj"], lp["up_proj"], lp["down_proj"])
+        x = x + swiglu_fused(h2, lp["gate_up_proj"], lp["down_proj"])
 
         # --- compression hook: what gets WRITTEN to the cache ---
         ctx = LayerContext(layer_idx, hc if comp.method == "headkv" else None,
@@ -256,9 +259,10 @@ def decode_step(
     def layer_fn(x, scanned):
         lp, layer_cache = scanned
         h = rms_norm(x, lp["input_norm"], cfg.rms_norm_eps)
-        q = _split_heads(h @ lp["q_proj"], Hq, D)
-        k = _split_heads(h @ lp["k_proj"], Hkv, D)
-        v = _split_heads(h @ lp["v_proj"], Hkv, D)
+        qkv = h @ lp["qkv_proj"]
+        q = _split_heads(qkv[..., :Hq * D], Hq, D)
+        k = _split_heads(qkv[..., Hq * D:(Hq + Hkv) * D], Hkv, D)
+        v = _split_heads(qkv[..., (Hq + Hkv) * D:], Hkv, D)
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
 
@@ -299,7 +303,7 @@ def decode_step(
         h = _merge_heads(attn) @ lp["o_proj"]
         x = x + h
         h2 = rms_norm(x, lp["post_norm"], cfg.rms_norm_eps)
-        x = x + swiglu(h2, lp["gate_proj"], lp["up_proj"], lp["down_proj"])
+        x = x + swiglu_fused(h2, lp["gate_up_proj"], lp["down_proj"])
         return x, layer_cache
 
     if quantized:

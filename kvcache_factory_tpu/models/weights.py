@@ -1,18 +1,20 @@
 """Parameter initialization and HF checkpoint loading.
 
-Weights layout (all matrices stored input-major so forward is ``x @ W``):
+Weights layout (all matrices stored input-major so forward is ``x @ W``).
+QKV and gate/up are fused into single matmuls — at batch 1 decode is
+bandwidth/dispatch-bound and fewer, larger matmuls run measurably faster:
 
     {
-      "embed":      [V, hidden],
-      "layers": {   # every leaf stacked over layers on axis 0 for lax.scan
-        "q_proj":   [L, hidden, Hq*D],   "k_proj": [L, hidden, Hkv*D],
-        "v_proj":   [L, hidden, Hkv*D],  "o_proj": [L, Hq*D, hidden],
-        "gate_proj":[L, hidden, ffn],    "up_proj": [L, hidden, ffn],
-        "down_proj":[L, ffn, hidden],
-        "input_norm":[L, hidden],        "post_norm": [L, hidden],
+      "embed":        [V, hidden],
+      "layers": {     # every leaf stacked over layers on axis 0 for lax.scan
+        "qkv_proj":   [L, hidden, (Hq + 2*Hkv) * D],
+        "o_proj":     [L, Hq*D, hidden],
+        "gate_up_proj": [L, hidden, 2*ffn],
+        "down_proj":  [L, ffn, hidden],
+        "input_norm": [L, hidden],       "post_norm": [L, hidden],
       },
-      "final_norm": [hidden],
-      "lm_head":    [hidden, V],
+      "final_norm":   [hidden],
+      "lm_head":      [hidden, V],
     }
 
 Loading sources: a HF model directory (config.json + *.safetensors, the same
@@ -34,12 +36,10 @@ import numpy as np
 from ..config import ModelConfig
 
 _LAYER_MAP = {
-    "q_proj": "self_attn.q_proj.weight",
-    "k_proj": "self_attn.k_proj.weight",
-    "v_proj": "self_attn.v_proj.weight",
+    "qkv_proj": ("self_attn.q_proj.weight", "self_attn.k_proj.weight",
+                 "self_attn.v_proj.weight"),
     "o_proj": "self_attn.o_proj.weight",
-    "gate_proj": "mlp.gate_proj.weight",
-    "up_proj": "mlp.up_proj.weight",
+    "gate_up_proj": ("mlp.gate_proj.weight", "mlp.up_proj.weight"),
     "down_proj": "mlp.down_proj.weight",
     "input_norm": "input_layernorm.weight",
     "post_norm": "post_attention_layernorm.weight",
@@ -60,12 +60,9 @@ def init_params(cfg: ModelConfig, key: jax.Array, dtype=None) -> Dict[str, Any]:
     params = {
         "embed": mat(ks[0], (V, h)),
         "layers": {
-            "q_proj": _stacked(ks[1], L, (h, qd), dtype),
-            "k_proj": _stacked(ks[2], L, (h, kvd), dtype),
-            "v_proj": _stacked(ks[3], L, (h, kvd), dtype),
+            "qkv_proj": _stacked(ks[1], L, (h, qd + 2 * kvd), dtype),
             "o_proj": _stacked(ks[4], L, (qd, h), dtype),
-            "gate_proj": _stacked(ks[5], L, (h, ffn), dtype),
-            "up_proj": _stacked(ks[6], L, (h, ffn), dtype),
+            "gate_up_proj": _stacked(ks[5], L, (h, 2 * ffn), dtype),
             "down_proj": _stacked(ks[7], L, (ffn, h), dtype),
             "input_norm": jnp.ones((L, h), dtype),
             "post_norm": jnp.ones((L, h), dtype),
@@ -97,9 +94,13 @@ def params_from_state_dict(cfg: ModelConfig, state: Dict[str, Any],
     for ours, theirs in _LAYER_MAP.items():
         mats = []
         for l in range(L):
-            w = get(f"model.layers.{l}.{theirs}")
-            if w.ndim == 2:
-                w = w.T  # HF [out, in] -> ours [in, out]
+            if isinstance(theirs, tuple):  # fused: concat along output dim
+                w = np.concatenate(
+                    [get(f"model.layers.{l}.{t}").T for t in theirs], axis=1)
+            else:
+                w = get(f"model.layers.{l}.{theirs}")
+                if w.ndim == 2:
+                    w = w.T  # HF [out, in] -> ours [in, out]
             mats.append(w)
         layers[ours] = jnp.asarray(np.stack(mats), dtype)
 

@@ -41,12 +41,9 @@ def param_specs(model_cfg: ModelConfig) -> Dict[str, Any]:
     return {
         "embed": P(None, None),
         "layers": {
-            "q_proj": P(None, None, "tp"),
-            "k_proj": P(None, None, "tp"),
-            "v_proj": P(None, None, "tp"),
+            "qkv_proj": P(None, None, "tp"),
             "o_proj": P(None, "tp", None),
-            "gate_proj": P(None, None, "tp"),
-            "up_proj": P(None, None, "tp"),
+            "gate_up_proj": P(None, None, "tp"),
             "down_proj": P(None, "tp", None),
             "input_norm": P(None, None),
             "post_norm": P(None, None),
