@@ -56,6 +56,8 @@ def main():
     S, B, steps = args.prompt_len, args.batch, args.decode_steps
     L = cfg.num_hidden_layers
     cache_capacity = comp.layer_capacity(L, S) + steps + 1
+    if quant is not None:
+        cache_capacity = -(-cache_capacity // 128) * 128
 
     params = init_params(cfg, jax.random.PRNGKey(0))
     tokens = jnp.asarray(
@@ -98,7 +100,9 @@ def main():
 
     # Speed-of-light: bytes streamed per decode step / HBM bandwidth.
     param_bytes = sum(x.size * x.dtype.itemsize for x in jax.tree.leaves(params))
-    kbuf = pre.cache.qk if quant else pre.cache.k
+    kbuf = (getattr(pre.cache, "qk", None) if quant else pre.cache.k)
+    if kbuf is None:
+        kbuf = pre.cache.k_codes
     cache_heads = int(kbuf.shape[2])
     kv_elem_bytes = (0.5 if args.nbits == 4 else 1) if quant else 2
     scale_bytes = (2 * 2 * cfg.head_dim // 64) if quant else 0  # scales+zeros bf16 per group

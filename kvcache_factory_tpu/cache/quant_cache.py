@@ -154,3 +154,72 @@ def append_layer_quant(layer_cache: Tuple, k_new: jnp.ndarray,
     vs = jnp.where(onehot, nvs, vs)
     vz = jnp.where(onehot, nvz, vz)
     return (qk, qv, ks, kz, vs, vz, jnp.minimum(lens + 1, C))
+
+
+# ---------------------------------------------------------------------------
+# TPU-kernel layout: per-token scales stored as 128-lane planes
+# ---------------------------------------------------------------------------
+
+
+class QuantKVCacheTPU(NamedTuple):
+    """INT8 cache in the layout the Pallas quant decode kernel streams:
+    codes [L, B, H, C, D] int8; per-token scale/zero planes
+    [L, B, H, Cr, 128] bf16 with tokens on lanes (Cr = round_up(C/128, 16),
+    padded rows beyond C/128 unused).  One scale per (token, head) over the
+    full head_dim (q_group_size == head_dim)."""
+
+    k_codes: jnp.ndarray
+    v_codes: jnp.ndarray
+    k_scale: jnp.ndarray
+    k_zero: jnp.ndarray
+    v_scale: jnp.ndarray
+    v_zero: jnp.ndarray
+    lengths: jnp.ndarray    # [L, B, H] int32
+    positions: jnp.ndarray  # [B] int32
+
+    @property
+    def capacity(self) -> int:
+        return self.k_codes.shape[3]
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def quantize_per_token(x: jnp.ndarray):
+    """[..., C, D] -> (codes int8 biased, scale [..., C], zero [..., C])."""
+    xf = x.astype(jnp.float32)
+    mn = jnp.min(xf, axis=-1)
+    mx = jnp.max(xf, axis=-1)
+    scale = jnp.maximum(mx - mn, 1e-8) / 255.0
+    codes = jnp.clip(jnp.round((xf - mn[..., None]) / scale[..., None]),
+                     0, 255) - 128.0
+    return codes.astype(jnp.int8), scale, mn
+
+
+def _to_planes(x: jnp.ndarray, rows: int) -> jnp.ndarray:
+    """[..., C] per-token scalars -> [..., rows, 128] bf16 lane planes."""
+    *lead, C = x.shape
+    r = C // 128
+    planes = x.reshape(*lead, r, 128)
+    if rows > r:
+        pad = [(0, 0)] * len(lead) + [(0, rows - r), (0, 0)]
+        planes = jnp.pad(planes, pad)
+    return planes.astype(jnp.bfloat16)
+
+
+def from_packed_prefill_tpu(k: jnp.ndarray, v: jnp.ndarray,
+                            lengths: jnp.ndarray, positions: jnp.ndarray
+                            ) -> QuantKVCacheTPU:
+    """Quantize a prefill-packed dense cache [L, B, H, C, D] (C must be a
+    multiple of 128; the engine rounds the capacity up)."""
+    L, B, H, C, D = k.shape
+    assert C % 128 == 0, f"quant TPU cache capacity {C} must be 128-aligned"
+    rows = _round_up(C // 128, 16)
+    kc, ks, kz = quantize_per_token(k)
+    vc, vs, vz = quantize_per_token(v)
+    return QuantKVCacheTPU(
+        k_codes=kc, v_codes=vc,
+        k_scale=_to_planes(ks, rows), k_zero=_to_planes(kz, rows),
+        v_scale=_to_planes(vs, rows), v_zero=_to_planes(vz, rows),
+        lengths=lengths, positions=positions)

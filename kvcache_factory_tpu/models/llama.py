@@ -22,8 +22,9 @@ import jax.numpy as jnp
 from jax import lax
 
 from ..cache.kv_cache import KVCache, append_layer, init_cache, valid_mask
-from ..cache.quant_cache import (QuantizedKVCache, append_layer_quant,
-                                 decode_values, from_packed_prefill)
+from ..cache.quant_cache import (QuantizedKVCache, QuantKVCacheTPU,
+                                 append_layer_quant, decode_values,
+                                 from_packed_prefill, from_packed_prefill_tpu)
 from ..config import CompressionConfig, ModelConfig, QuantConfig, dtype_of
 from ..policies.methods import LayerContext, compress_prefill
 
@@ -208,12 +209,23 @@ def prefill(
     all_logits = (x @ lm_head).astype(jnp.float32) if return_all_logits else None
 
     if quant is not None:
-        cache = from_packed_prefill(k_all, v_all, len_all,
-                                    true_len.astype(jnp.int32), quant)
+        if _quant_tpu_layout(quant, D, cache_capacity):
+            cache = from_packed_prefill_tpu(k_all, v_all, len_all,
+                                            true_len.astype(jnp.int32))
+        else:
+            cache = from_packed_prefill(k_all, v_all, len_all,
+                                        true_len.astype(jnp.int32), quant)
     else:
         cache = KVCache(k=k_all, v=v_all, lengths=len_all,
                         positions=true_len.astype(jnp.int32))
     return PrefillResult(logits_last, cache, all_logits)
+
+
+def _quant_tpu_layout(quant: QuantConfig, head_dim: int, capacity: int) -> bool:
+    """The Pallas quant kernel streams int8 per-token-scale caches; it needs
+    a TPU backend, lane-aligned head_dim, 8-bit codes, 128-aligned capacity."""
+    return (jax.default_backend() in ("tpu", "axon") and quant.nbits == 8
+            and head_dim % 128 == 0 and capacity % 128 == 0)
 
 
 def decode_step(
@@ -238,9 +250,13 @@ def decode_step(
     Hq, Hkv, D = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
     C = cache.capacity
     quantized = isinstance(cache, QuantizedKVCache)
-    assert quantized == (quant is not None), \
+    quantized_tpu = isinstance(cache, QuantKVCacheTPU)
+    assert (quantized or quantized_tpu) == (quant is not None), \
         "quant config must be passed iff the cache is quantized"
-    cache_heads = (cache.qk if quantized else cache.k).shape[2]
+    if quantized_tpu:
+        cache_heads = cache.k_codes.shape[2]
+    else:
+        cache_heads = (cache.qk if quantized else cache.k).shape[2]
     if attn_backend == "auto":
         attn_backend = "pallas" if jax.default_backend() in ("tpu", "axon") \
             else "xla"
@@ -271,7 +287,30 @@ def decode_step(
             k = jnp.repeat(k, G, axis=1)
             v = jnp.repeat(v, G, axis=1)
 
-        if quantized:
+        if quantized_tpu:
+            from ..ops.kernels.decode_attn_quant import \
+                quant_decode_attention_append
+            kc, vc, ks, kz, vs, vz, lens = layer_cache
+            Gq = Hq // cache_heads
+            BH = B * cache_heads
+            Cr = ks.shape[2]
+            res = quant_decode_attention_append(
+                q.reshape(BH, Gq, D).astype(dtype),
+                kc.reshape(BH, C, D), vc.reshape(BH, C, D),
+                ks.reshape(BH, Cr, 128), kz.reshape(BH, Cr, 128),
+                vs.reshape(BH, Cr, 128), vz.reshape(BH, Cr, 128),
+                lens.reshape(BH),
+                k.astype(dtype).reshape(BH, D), v.astype(dtype).reshape(BH, D))
+            out = res[0]
+            layer_cache = (res[1].reshape(B, cache_heads, C, D),
+                           res[2].reshape(B, cache_heads, C, D),
+                           res[3].reshape(B, cache_heads, Cr, 128),
+                           res[4].reshape(B, cache_heads, Cr, 128),
+                           res[5].reshape(B, cache_heads, Cr, 128),
+                           res[6].reshape(B, cache_heads, Cr, 128),
+                           res[7].reshape(B, cache_heads))
+            attn = out.reshape(B, Hq, 1, D)
+        elif quantized:
             layer_cache = append_layer_quant(layer_cache, k, v, quant)
             qk, qv, ks, kz, vs, vz, lens = layer_cache
             k_read = decode_values(qk, ks, kz, quant, dtype)
@@ -306,7 +345,11 @@ def decode_step(
         x = x + swiglu_fused(h2, lp["gate_up_proj"], lp["down_proj"])
         return x, layer_cache
 
-    if quantized:
+    if quantized_tpu:
+        layer_caches = (cache.k_codes, cache.v_codes, cache.k_scale,
+                        cache.k_zero, cache.v_scale, cache.v_zero,
+                        cache.lengths)
+    elif quantized:
         layer_caches = (cache.qk, cache.qv, cache.k_scale, cache.k_zero,
                         cache.v_scale, cache.v_zero, cache.lengths)
     else:
@@ -316,7 +359,11 @@ def decode_step(
     x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
     logits = (x[:, 0] @ params["lm_head"]).astype(jnp.float32)  # [B, V]
 
-    if quantized:
+    if quantized_tpu:
+        kc, vc, ks, kz, vs, vz, len_all = out_caches
+        new_cache = QuantKVCacheTPU(kc, vc, ks, kz, vs, vz, len_all,
+                                    cache.positions + 1)
+    elif quantized:
         qk, qv, ks, kz, vs, vz, len_all = out_caches
         new_cache = QuantizedKVCache(qk, qv, ks, kz, vs, vz, len_all,
                                      cache.positions + 1)
