@@ -26,6 +26,7 @@ from ..cache.quant_cache import (QuantizedKVCache, QuantKVCacheTPU,
                                  append_layer_quant, decode_values,
                                  from_packed_prefill, from_packed_prefill_tpu)
 from ..config import CompressionConfig, ModelConfig, QuantConfig, dtype_of
+from ..ops.attention import blocked_causal_attention
 from ..policies.methods import LayerContext, compress_prefill
 
 NEG_INF = float(jnp.finfo(jnp.float32).min)
@@ -155,7 +156,6 @@ def prefill(
 
     x = params["embed"][tokens].astype(dtype)  # [B, S, hidden]
     cos, sin = rope_tables(cfg, S)
-    mask = _causal_mask(S, true_len, cfg.sliding_window)
 
     cache_heads = Hkv if (comp.method == "fullkv" or comp.group_reduce != "none") else Hq
     policy_capacity = comp.layer_capacity(L, S)
@@ -177,7 +177,9 @@ def prefill(
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
 
-        attn = grouped_attention(q, k, v, mask)
+        # Blocked attention: O(q_block * S) memory, exact math — the prompt
+        # attends over its FULL uncompressed K/V (llama_model.py:2243-2245).
+        attn = blocked_causal_attention(q, k, v, true_len, cfg.sliding_window)
         h = _merge_heads(attn) @ lp["o_proj"]
         x = x + h
         h2 = rms_norm(x, lp["post_norm"], cfg.rms_norm_eps)
