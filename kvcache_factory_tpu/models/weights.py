@@ -119,8 +119,10 @@ def params_from_state_dict(cfg: ModelConfig, state: Dict[str, Any],
 
 def load_params(model_dir: str, cfg: Optional[ModelConfig] = None,
                 dtype=jnp.bfloat16):
-    """Load from a HF checkpoint directory (safetensors shards)."""
-    from safetensors import safe_open
+    """Load from a HF checkpoint directory (safetensors shards) using the
+    native mmap/parallel reader (csrc/safetensors_reader.cpp) with a
+    pure-Python mmap fallback."""
+    from ..runtime.native import SafetensorsFile
 
     if cfg is None:
         cfg = ModelConfig.from_json(os.path.join(model_dir, "config.json"))
@@ -135,7 +137,8 @@ def load_params(model_dir: str, cfg: Optional[ModelConfig] = None,
 
     state: Dict[str, np.ndarray] = {}
     for shard in shards:
-        with safe_open(os.path.join(model_dir, shard), framework="np") as f:
-            for name in f.keys():
-                state[name] = f.get_tensor(name)
+        f = SafetensorsFile(os.path.join(model_dir, shard))
+        for name in f.keys():
+            state[name] = np.asarray(f.tensor(name))
+        f.close()
     return params_from_state_dict(cfg, state, dtype), cfg
