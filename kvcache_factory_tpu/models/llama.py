@@ -28,6 +28,7 @@ from ..cache.quant_cache import (QuantizedKVCache, QuantKVCacheTPU,
 from ..config import CompressionConfig, ModelConfig, QuantConfig, dtype_of
 from ..ops.attention import blocked_causal_attention
 from ..policies.methods import LayerContext, compress_prefill
+from ..policies.scoring import NEG_INF as SCORE_NEG_INF
 
 NEG_INF = float(jnp.finfo(jnp.float32).min)
 
@@ -167,6 +168,15 @@ def prefill(
     if head_capacity is None:
         head_capacity = jnp.zeros((L, cache_heads), jnp.int32)
 
+    # The Pallas flash path computes attention AND emits the observation-
+    # window scores in one kernel (north-star; ops/kernels/flash_prefill.py);
+    # score-reusing methods then skip their separate scoring matmul.
+    use_flash = (jax.default_backend() in ("tpu", "axon") and D % 128 == 0
+                 and B == 1 and cfg.sliding_window is None
+                 and comp.method != "fullkv")
+    scores_reusable = comp.method in ("snapkv", "pyramidkv", "think",
+                                      "adakv", "headkv")
+
     def layer_fn(x, scanned):
         lp, layer_idx, hc, key = scanned
         h = rms_norm(x, lp["input_norm"], cfg.rms_norm_eps)
@@ -177,9 +187,23 @@ def prefill(
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
 
-        # Blocked attention: O(q_block * S) memory, exact math — the prompt
-        # attends over its FULL uncompressed K/V (llama_model.py:2243-2245).
-        attn = blocked_causal_attention(q, k, v, true_len, cfg.sliding_window)
+        window_scores = None
+        if use_flash:
+            from ..ops.kernels.flash_prefill import flash_prefill_attention
+            out_h, win_sc = flash_prefill_attention(
+                q[0], k[0], v[0], true_len[0], comp.window_size)
+            attn = out_h[None]
+            if scores_reusable:
+                cols = lax.broadcasted_iota(jnp.int32, win_sc.shape, 1)
+                win_sc = jnp.where(cols >= true_len[0] - comp.window_size,
+                                   SCORE_NEG_INF, win_sc)
+                window_scores = win_sc[None]  # [B=1, Hq, S]
+        else:
+            # Blocked attention: O(q_block * S) memory, exact math — the
+            # prompt attends over its FULL uncompressed K/V
+            # (llama_model.py:2243-2245).
+            attn = blocked_causal_attention(q, k, v, true_len,
+                                            cfg.sliding_window)
         h = _merge_heads(attn) @ lp["o_proj"]
         x = x + h
         h2 = rms_norm(x, lp["post_norm"], cfg.rms_norm_eps)
@@ -187,7 +211,8 @@ def prefill(
 
         # --- compression hook: what gets WRITTEN to the cache ---
         ctx = LayerContext(layer_idx, hc if comp.method == "headkv" else None,
-                           key if comp.method in ("cam", "random") else None)
+                           key if comp.method in ("cam", "random") else None,
+                           window_scores)
         packed = compress_prefill(comp, L, policy_capacity, k, v, q,
                                   true_len, ctx)
         pad = cache_capacity - policy_capacity

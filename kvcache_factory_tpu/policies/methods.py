@@ -43,6 +43,11 @@ class LayerContext(NamedTuple):
     layer_idx: jnp.ndarray  # scalar int32
     head_capacity: Optional[jnp.ndarray] = None  # [H] int32 (HeadKV)
     rng: Optional[jax.Array] = None  # PRNG key (CAM bernoulli / random scores)
+    # Observation-window column sums emitted in-kernel by the Pallas flash
+    # prefill ([H_q, S], NEG_INF-masked at >= true_len - window); when present
+    # snapkv/pyramidkv/think (sum) and adakv/headkv (sum / window = mean)
+    # skip their separate scoring matmul.
+    window_scores: Optional[jnp.ndarray] = None
 
 
 def _repeat_heads(x: jnp.ndarray, groups: int) -> jnp.ndarray:
@@ -126,7 +131,10 @@ def compress_layer(
     scores = None
 
     if method in ("snapkv", "pyramidkv", "think"):
-        raw = window_attention_scores(k_rep, q, true_len, w, reduce="sum")
+        if ctx.window_scores is not None:
+            raw = ctx.window_scores
+        else:
+            raw = window_attention_scores(k_rep, q, true_len, w, reduce="sum")
         raw = _reduce_groups(raw, groups, cfg.group_reduce)
         scores = masked_pool(raw, true_len - w, cfg.kernel_size, cfg.pooling)
         if method == "pyramidkv":
@@ -136,7 +144,10 @@ def compress_layer(
             budget = jnp.broadcast_to(jnp.asarray(cfg.base_capacity, jnp.int32), (H_out,))
 
     elif method in ("adakv", "headkv"):
-        raw = window_attention_scores(k_rep, q, true_len, w, reduce="mean")
+        if ctx.window_scores is not None:
+            raw = ctx.window_scores / w
+        else:
+            raw = window_attention_scores(k_rep, q, true_len, w, reduce="mean")
         raw = _reduce_groups(raw, groups, cfg.group_reduce)
         scores = masked_pool(raw, true_len - w, cfg.kernel_size, cfg.pooling)
         max_budget = jnp.asarray(C - w, jnp.int32)
@@ -249,9 +260,14 @@ def compress_prefill(
     rngs = (jax.random.split(ctx.rng, B) if ctx.rng is not None
             else jnp.zeros((B, 2), jnp.uint32))
 
-    def per_example(k1, v1, q1, tl, r):
+    ws = ctx.window_scores
+    if ws is None:
+        ws = jnp.zeros((B, 0), jnp.float32)  # placeholder for vmap
+
+    def per_example(k1, v1, q1, tl, r, w1):
         c = LayerContext(ctx.layer_idx, ctx.head_capacity,
-                         r if ctx.rng is not None else None)
+                         r if ctx.rng is not None else None,
+                         w1 if ctx.window_scores is not None else None)
         return compress_layer(cfg, num_layers, capacity, k1, v1, q1, tl, c)
 
-    return jax.vmap(per_example)(k, v, q, true_len.astype(jnp.int32), rngs)
+    return jax.vmap(per_example)(k, v, q, true_len.astype(jnp.int32), rngs, ws)
