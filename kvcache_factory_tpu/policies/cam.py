@@ -26,6 +26,7 @@ def cam_merge_values(
     start_budget_ratio: float,
     window_size: int,        # == recent_budget == merge_budget in the reference
     key: jax.Array,
+    uniforms: jnp.ndarray = None,  # [S, H] override for deterministic testing
 ) -> jnp.ndarray:
     """Returns values with CAM probabilistic merging applied.
 
@@ -38,7 +39,8 @@ def cam_merge_values(
     H, S, D = v.shape
     w = window_size
     start_budget = jnp.ceil(start_budget_ratio * true_len).astype(jnp.int32)
-    uniforms = jax.random.uniform(key, (S, H))
+    if uniforms is None:
+        uniforms = jax.random.uniform(key, (S, H))
     col_ids = lax.broadcasted_iota(jnp.int32, (H, S), 1)
 
     # Pad so the w-row merge segment never runs off the end.
