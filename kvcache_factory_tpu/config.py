@@ -156,6 +156,10 @@ class CompressionConfig:
     merge: Optional[str] = None  # None | "pivot"
     group_reduce: str = "none"  # "none" | "mean" | "max" | "sum"
     head_capacity_bound_factor: float = 2.0
+    # MInference-equivalent sparse prefill (reference pyramidkv/minference.py
+    # delegates to the external package): (sink_blocks, local_blocks, stride)
+    # a-shape block pattern applied inside the Pallas flash prefill kernel.
+    sparse_prefill: Optional[Tuple[int, int, int]] = None
 
     def __post_init__(self):
         if self.method not in KNOWN_METHODS:

@@ -191,7 +191,8 @@ def prefill(
         if use_flash:
             from ..ops.kernels.flash_prefill import flash_prefill_attention
             out_h, win_sc = flash_prefill_attention(
-                q[0], k[0], v[0], true_len[0], comp.window_size)
+                q[0], k[0], v[0], true_len[0], comp.window_size,
+                sparse_pattern=comp.sparse_prefill)
             attn = out_h[None]
             if scores_reusable:
                 cols = lax.broadcasted_iota(jnp.int32, win_sc.shape, 1)

@@ -38,7 +38,8 @@ NEG_INF = float(jnp.finfo(jnp.float32).min)
 
 
 def _flash_kernel(S: int, QB: int, KB: int, D: int, G: int, W: int,
-                  scale: float,
+                  scale: float, sparse, sink_blocks: int, local_blocks: int,
+                  stride: int,
                   tl_ref,               # scalar prefetch [1] true_len
                   q_ref,                # VMEM [1, QB, D]
                   k_hbm, v_hbm,         # HBM [Hkv, S, D]
@@ -69,8 +70,9 @@ def _flash_kernel(S: int, QB: int, KB: int, D: int, G: int, W: int,
         return pltpu.make_async_copy(
             v_hbm.at[hkv, pl.ds(blk * KB, KB), :], v_s.at[slot], sems.at[1])
 
-    get_k(0, 0).start()
-    get_v(0, 0).start()
+    if not sparse:  # dense path double-buffers; sparse DMAs inline per block
+        get_k(0, 0).start()
+        get_v(0, 0).start()
 
     q = q_ref[0].astype(jnp.float32)  # [QB, D]
     rows = row0 + lax.broadcasted_iota(jnp.int32, (QB, KB), 0)
@@ -82,26 +84,57 @@ def _flash_kernel(S: int, QB: int, KB: int, D: int, G: int, W: int,
         bad = (cols > rows) | (cols >= true_len)
         return jnp.where(bad, NEG_INF, s)
 
-    def body(blk, carry):
-        m, l, acc = carry
-        slot = blk % 2
+    diag_blk = kv_hi - 1
 
-        @pl.when(blk + 1 < kv_hi)
-        def _():
-            get_k((blk + 1) % 2, blk + 1).start()
-            get_v((blk + 1) % 2, blk + 1).start()
+    def block_selected(blk):
+        """MInference-style a-shape pattern: attention sinks + local band +
+        strided global columns (minference integration equivalent,
+        pyramidkv/minference.py:49-59 delegates to the external package)."""
+        return ((blk < sink_blocks) | (blk > diag_blk - local_blocks)
+                | (blk % stride == 0))
 
-        get_k(slot, blk).wait()
-        s = logits_for(blk, k_s[slot].astype(jnp.float32))
-        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
-        p = jnp.exp(s - m_new)
-        alpha = jnp.exp(m - m_new)
-        l_new = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
-        get_v(slot, blk).wait()
-        pv = jax.lax.dot_general(p, v_s[slot].astype(jnp.float32),
-                                 (((1,), (0,)), ((), ())),
-                                 preferred_element_type=jnp.float32)
-        return m_new, l_new, pv + acc * alpha
+    if sparse:
+        def body(blk, carry):
+            def compute(carry):
+                m, l, acc = carry
+                cp_k = get_k(0, blk)
+                cp_v = get_v(0, blk)
+                cp_k.start()
+                cp_v.start()
+                cp_k.wait()
+                s = logits_for(blk, k_s[0].astype(jnp.float32))
+                m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+                p = jnp.exp(s - m_new)
+                alpha = jnp.exp(m - m_new)
+                l_new = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+                cp_v.wait()
+                pv = jax.lax.dot_general(p, v_s[0].astype(jnp.float32),
+                                         (((1,), (0,)), ((), ())),
+                                         preferred_element_type=jnp.float32)
+                return m_new, l_new, pv + acc * alpha
+
+            return lax.cond(block_selected(blk), compute, lambda c: c, carry)
+    else:
+        def body(blk, carry):
+            m, l, acc = carry
+            slot = blk % 2
+
+            @pl.when(blk + 1 < kv_hi)
+            def _():
+                get_k((blk + 1) % 2, blk + 1).start()
+                get_v((blk + 1) % 2, blk + 1).start()
+
+            get_k(slot, blk).wait()
+            s = logits_for(blk, k_s[slot].astype(jnp.float32))
+            m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+            p = jnp.exp(s - m_new)
+            alpha = jnp.exp(m - m_new)
+            l_new = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+            get_v(slot, blk).wait()
+            pv = jax.lax.dot_general(p, v_s[slot].astype(jnp.float32),
+                                     (((1,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+            return m_new, l_new, pv + acc * alpha
 
     m0 = jnp.full((QB, 1), NEG_INF, jnp.float32)
     l0 = jnp.zeros((QB, 1), jnp.float32)
@@ -121,27 +154,27 @@ def _flash_kernel(S: int, QB: int, KB: int, D: int, G: int, W: int,
         inv_l = jnp.where(in_window, 1.0 / l_safe, 0.0)  # zero non-window rows
 
         def score_body(blk, _):
-            slot = blk % 2
+            def compute(_):
+                cp = get_k(0, blk)
+                cp.start()
+                cp.wait()
+                s = logits_for(blk, k_s[0].astype(jnp.float32))
+                p = jnp.exp(s - m) * inv_l  # final-normalized window rows
+                colsum = jnp.sum(p, axis=0)  # [KB]
+                cur = scores_ref[0, 0, pl.ds(blk * KB, KB)]
+                scores_ref[0, 0, pl.ds(blk * KB, KB)] = cur + colsum
+                return 0
 
-            @pl.when(blk + 1 < kv_hi)
-            def _():
-                get_k((blk + 1) % 2, blk + 1).start()
+            if sparse:
+                return lax.cond(block_selected(blk), compute, lambda c: c, 0)
+            return compute(0)
 
-            get_k(slot, blk).wait()
-            s = logits_for(blk, k_s[slot].astype(jnp.float32))
-            p = jnp.exp(s - m) * inv_l  # final-normalized rows, window only
-            colsum = jnp.sum(p, axis=0)  # [KB]
-            cur = scores_ref[0, 0, pl.ds(blk * KB, KB)]
-            scores_ref[0, 0, pl.ds(blk * KB, KB)] = cur + colsum
-            return 0
-
-        get_k(0, 0).start()
         lax.fori_loop(0, kv_hi, score_body, 0)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("window", "q_block", "kv_block",
-                                    "interpret"))
+                                    "interpret", "sparse_pattern"))
 def flash_prefill_attention(
     q: jnp.ndarray,        # [Hq, S, D]
     k: jnp.ndarray,        # [Hkv, S, D]
@@ -151,6 +184,7 @@ def flash_prefill_attention(
     q_block: int = 256,
     kv_block: int = 512,
     interpret: bool = False,
+    sparse_pattern: Optional[Tuple[int, int, int]] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Returns (out [Hq, S, D], window_scores [Hq, S] fp32).
 
@@ -175,8 +209,17 @@ def flash_prefill_attention(
         v = jnp.pad(v, pq)
 
     scale = 1.0 / float(D) ** 0.5
+    # sparse_pattern = (sink_blocks, local_blocks, stride): the MInference-
+    # equivalent a-shape sparse prefill — each q block attends its causal
+    # sinks, a local diagonal band, and every stride-th block between.
+    if sparse_pattern is not None:
+        sink_b, local_b, stride = sparse_pattern
+        sparse = True
+    else:
+        sink_b, local_b, stride = 0, 0, 1
+        sparse = False
     kernel = functools.partial(_flash_kernel, S_pad, QB, KB, D, G, window,
-                               scale)
+                               scale, sparse, sink_b, local_b, stride)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
