@@ -160,6 +160,12 @@ class CompressionConfig:
     # delegates to the external package): (sink_blocks, local_blocks, stride)
     # a-shape block pattern applied inside the Pallas flash prefill kernel.
     sparse_prefill: Optional[Tuple[int, int, int]] = None
+    # Decode-stage compression (unchecked TODO in the reference, README.md:31:
+    # "Support KV cache compression at decoding stage"): when the cache is
+    # full, H2O-style eviction replaces the lowest accumulated-attention
+    # non-recent entry instead of growing — decode memory stays bounded.
+    decode_evict: bool = False
+    eviction_recent: int = 32
 
     def __post_init__(self):
         if self.method not in KNOWN_METHODS:

@@ -21,7 +21,9 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from ..cache.kv_cache import KVCache, append_layer, init_cache, valid_mask
+from ..cache.kv_cache import (EvictingKVCache, KVCache, append_layer,
+                              evict_append_layer, init_cache,
+                              init_eviction_stamps, valid_mask)
 from ..cache.quant_cache import (QuantizedKVCache, QuantKVCacheTPU,
                                  append_layer_quant, decode_values,
                                  from_packed_prefill, from_packed_prefill_tpu)
@@ -243,6 +245,13 @@ def prefill(
         else:
             cache = from_packed_prefill(k_all, v_all, len_all,
                                         true_len.astype(jnp.int32), quant)
+    elif comp.decode_evict:
+        pos = true_len.astype(jnp.int32)
+        cache = EvictingKVCache(
+            k=k_all, v=v_all,
+            scores=jnp.zeros(len_all.shape + (cache_capacity,), jnp.float32),
+            stamps=init_eviction_stamps(len_all, pos, cache_capacity),
+            lengths=len_all, positions=pos)
     else:
         cache = KVCache(k=k_all, v=v_all, lengths=len_all,
                         positions=true_len.astype(jnp.int32))
@@ -260,9 +269,10 @@ def decode_step(
     params: dict,
     cfg: ModelConfig,
     tokens: jnp.ndarray,  # [B] int32 current input token
-    cache,  # KVCache | QuantizedKVCache
+    cache,  # KVCache | QuantizedKVCache | QuantKVCacheTPU | EvictingKVCache
     quant: Optional[QuantConfig] = None,
     attn_backend: str = "auto",  # "auto" | "pallas" | "xla"
+    eviction_recent: int = 32,
 ) -> Tuple[jnp.ndarray, KVCache]:
     """One decode step: append to cache at per-head lengths, attend over the
     compressed cache (reference decode branch llama_model.py:2205-2208).
@@ -279,6 +289,7 @@ def decode_step(
     C = cache.capacity
     quantized = isinstance(cache, QuantizedKVCache)
     quantized_tpu = isinstance(cache, QuantKVCacheTPU)
+    evicting = isinstance(cache, EvictingKVCache)
     assert (quantized or quantized_tpu) == (quant is not None), \
         "quant config must be passed iff the cache is quantized"
     if quantized_tpu:
@@ -345,6 +356,29 @@ def decode_step(
             v_read = decode_values(qv, vs, vz, quant, dtype)
             mask = valid_mask(lens, C)[:, :, None, :]  # [B, H, 1, C]
             attn = grouped_attention(q, k_read, v_read, mask)
+        elif evicting:
+            # Decode-stage compression (reference TODO README.md:31): attend,
+            # accumulate per-slot attention mass, evict-append when full.
+            k_cache, v_cache, sc, stp, lens = layer_cache
+            k_cache, v_cache, sc, stp, lens = evict_append_layer(
+                k_cache, v_cache, sc, stp, lens, k.astype(dtype),
+                v.astype(dtype), pos, eviction_recent)
+            mask = valid_mask(lens, C)[:, :, None, :]
+            Hk = k_cache.shape[1]
+            Gq = Hq // Hk
+            qg = q.reshape(B, Hk, Gq, 1, D)
+            logits_a = jnp.einsum("bhgqd,bhkd->bhgqk", qg, k_cache,
+                                  preferred_element_type=jnp.float32)
+            logits_a = logits_a / jnp.sqrt(jnp.asarray(D, jnp.float32))
+            maskg = mask.reshape(B, Hk, 1, 1, C) if mask.shape[1] == Hk \
+                else mask[:, :, None]
+            logits_a = jnp.where(maskg, logits_a, NEG_INF)
+            probs = jax.nn.softmax(logits_a, axis=-1)  # [B,Hk,Gq,1,C]
+            sc = sc + jnp.sum(probs[:, :, :, 0, :], axis=2)
+            out = jnp.einsum("bhgqk,bhkd->bhgqd", probs.astype(v_cache.dtype),
+                             v_cache, preferred_element_type=jnp.float32)
+            attn = out.reshape(B, Hq, 1, D).astype(q.dtype)
+            layer_cache = (k_cache, v_cache, sc, stp, lens)
         elif use_pallas:
             from ..ops.kernels.decode_attn import decode_attention_append
             k_cache, v_cache, lens = layer_cache
@@ -373,7 +407,10 @@ def decode_step(
         x = x + swiglu_fused(h2, lp["gate_up_proj"], lp["down_proj"])
         return x, layer_cache
 
-    if quantized_tpu:
+    if evicting:
+        layer_caches = (cache.k, cache.v, cache.scores, cache.stamps,
+                        cache.lengths)
+    elif quantized_tpu:
         layer_caches = (cache.k_codes, cache.v_codes, cache.k_scale,
                         cache.k_zero, cache.v_scale, cache.v_zero,
                         cache.lengths)
@@ -387,7 +424,11 @@ def decode_step(
     x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
     logits = (x[:, 0] @ params["lm_head"]).astype(jnp.float32)  # [B, V]
 
-    if quantized_tpu:
+    if evicting:
+        k_all, v_all, sc_all, st_all, len_all = out_caches
+        new_cache = EvictingKVCache(k_all, v_all, sc_all, st_all, len_all,
+                                    cache.positions + 1)
+    elif quantized_tpu:
         kc, vc, ks, kz, vs, vz, len_all = out_caches
         new_cache = QuantKVCacheTPU(kc, vc, ks, kz, vs, vz, len_all,
                                     cache.positions + 1)

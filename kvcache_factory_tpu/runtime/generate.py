@@ -83,8 +83,9 @@ def generate(
         return (s.step < max_new) & jnp.logical_not(jnp.all(s.done))
 
     def body(s: _State):
-        logits, cache = llama.decode_step(params, model_cfg, s.cur, s.cache,
-                                          quant=quant_cfg)
+        logits, cache = llama.decode_step(
+            params, model_cfg, s.cur, s.cache, quant=quant_cfg,
+            eviction_recent=comp_cfg.eviction_recent)
         nxt = greedy_sample(logits)
         out = s.out.at[:, s.step].set(jnp.where(s.done, 0, nxt))
         num = s.num + jnp.where(s.done, 0, 1)
