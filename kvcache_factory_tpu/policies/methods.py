@@ -20,7 +20,6 @@ Reference semantics notes (each cited in the per-method branches):
 
 from __future__ import annotations
 
-import math
 from typing import NamedTuple, Optional
 
 import jax
@@ -127,7 +126,6 @@ def compress_layer(
     no_compress = true_len < cfg.max_capacity_prompt
     k_rep = _repeat_heads(k, groups)  # scoring always per query head
 
-    gather_idx_for_merge = None
     scores = None
 
     if method in ("snapkv", "pyramidkv", "think"):
