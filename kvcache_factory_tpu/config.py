@@ -248,9 +248,11 @@ class GenerationConfig:
     max_new_tokens: int = 128
     eos_token_ids: Tuple[int, ...] = ()
     # Greedy decoding matches the reference protocol (run_longbench.py:266-275:
-    # num_beams=1, do_sample=False).
+    # num_beams=1, do_sample=False); sampling is a serving extension.
     do_sample: bool = False
     temperature: float = 1.0
+    top_k: int = 0       # 0 = disabled
+    top_p: float = 1.0   # 1.0 = disabled
     min_new_tokens: int = 1  # reference min_length=context+1
 
 

@@ -34,6 +34,26 @@ def greedy_sample(logits: jnp.ndarray) -> jnp.ndarray:
     return jnp.argmax(logits, axis=-1).astype(jnp.int32)
 
 
+def sample_token(logits: jnp.ndarray, gen_cfg: GenerationConfig,
+                 key: Optional[jax.Array]) -> jnp.ndarray:
+    """Greedy (reference protocol) or temperature/top-k/top-p sampling."""
+    if not gen_cfg.do_sample:
+        return greedy_sample(logits)
+    logits = logits / max(gen_cfg.temperature, 1e-6)
+    if gen_cfg.top_k:
+        kth = lax.top_k(logits, gen_cfg.top_k)[0][..., -1:]
+        logits = jnp.where(logits < kth, -jnp.inf, logits)
+    if gen_cfg.top_p < 1.0:
+        sorted_logits = jnp.sort(logits, axis=-1)[..., ::-1]
+        probs = jax.nn.softmax(sorted_logits, axis=-1)
+        cum = jnp.cumsum(probs, axis=-1)
+        # smallest set with cumulative mass >= top_p (keep first exceeding)
+        cutoff_idx = jnp.sum(cum < gen_cfg.top_p, axis=-1, keepdims=True)
+        cutoff = jnp.take_along_axis(sorted_logits, cutoff_idx, axis=-1)
+        logits = jnp.where(logits < cutoff, -jnp.inf, logits)
+    return jax.random.categorical(key, logits, axis=-1).astype(jnp.int32)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("model_cfg", "comp_cfg", "gen_cfg", "cache_capacity",
@@ -58,7 +78,9 @@ def generate(
     pre = llama.prefill(params, model_cfg, comp_cfg, tokens, true_len,
                         cache_capacity, rng=rng, head_capacity=head_capacity,
                         return_all_logits=return_all_logits, quant=quant_cfg)
-    first_tok = greedy_sample(pre.logits_last)  # [B]
+    sample_rng = rng if rng is not None else jax.random.PRNGKey(0)
+    sample_rng, k0 = jax.random.split(jax.random.fold_in(sample_rng, 7))
+    first_tok = sample_token(pre.logits_last, gen_cfg, k0)  # [B]
 
     eos = jnp.asarray(list(gen_cfg.eos_token_ids) or [-1], jnp.int32)
 
@@ -77,6 +99,7 @@ def generate(
         done: jnp.ndarray       # [B] bool
         num: jnp.ndarray        # [B] valid generated tokens
         out: jnp.ndarray        # [B, max_new]
+        rng: jax.Array
         cache: KVCache
 
     def cond(s: _State):
@@ -86,14 +109,16 @@ def generate(
         logits, cache = llama.decode_step(
             params, model_cfg, s.cur, s.cache, quant=quant_cfg,
             eviction_recent=comp_cfg.eviction_recent)
-        nxt = greedy_sample(logits)
+        rng_next, kstep = jax.random.split(s.rng)
+        nxt = sample_token(logits, gen_cfg, kstep)
         out = s.out.at[:, s.step].set(jnp.where(s.done, 0, nxt))
         num = s.num + jnp.where(s.done, 0, 1)
         newly_done = is_eos(nxt) & (s.step + 1 >= gen_cfg.min_new_tokens)
         cur = jnp.where(s.done, s.cur, nxt)
-        return _State(s.step + 1, cur, s.done | newly_done, num, out, cache)
+        return _State(s.step + 1, cur, s.done | newly_done, num, out,
+                      rng_next, cache)
 
     init = _State(jnp.asarray(1), first_tok, done0,
-                  jnp.ones((B,), jnp.int32), out_buf, pre.cache)
+                  jnp.ones((B,), jnp.int32), out_buf, sample_rng, pre.cache)
     final = lax.while_loop(cond, body, init)
     return GenerateResult(final.out, final.num, final.cache)

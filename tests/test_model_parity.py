@@ -163,3 +163,35 @@ def test_eos_stops_generation(llama_setup):
                    jnp.asarray([S], jnp.int32), cache_capacity=S + 8)
     assert int(res.num_tokens[0]) == 2  # first token + the EOS token
     assert np.all(np.asarray(res.tokens)[0, 2:] == 0)
+
+
+def test_sampling_modes(llama_setup):
+    from kvcache_factory_tpu.config import GenerationConfig
+    model, cfg, params = llama_setup
+    S, new = 24, 6
+    rng = np.random.default_rng(9)
+    toks = rng.integers(0, cfg.vocab_size, size=(1, S))
+
+    def run(gen_cfg, seed=0):
+        import jax
+        res = generate(params, cfg, FULL, gen_cfg,
+                       jnp.asarray(toks, jnp.int32),
+                       jnp.asarray([S], jnp.int32), cache_capacity=S + new,
+                       rng=jax.random.PRNGKey(seed))
+        return np.asarray(res.tokens)[0]
+
+    greedy = run(GenerationConfig(max_new_tokens=new))
+    # temperature ~0 sampling converges to greedy
+    cold = run(GenerationConfig(max_new_tokens=new, do_sample=True,
+                                temperature=1e-4))
+    np.testing.assert_array_equal(greedy, cold)
+    # sampling with different seeds explores (usually differs)
+    hot1 = run(GenerationConfig(max_new_tokens=new, do_sample=True,
+                                temperature=2.0), seed=1)
+    hot2 = run(GenerationConfig(max_new_tokens=new, do_sample=True,
+                                temperature=2.0), seed=2)
+    assert hot1.shape == (new,) and hot2.shape == (new,)
+    # top-k=1 is greedy regardless of temperature
+    k1 = run(GenerationConfig(max_new_tokens=new, do_sample=True,
+                              temperature=5.0, top_k=1), seed=3)
+    np.testing.assert_array_equal(greedy, k1)
