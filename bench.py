@@ -39,7 +39,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--prompt_len", type=int, default=4096)
     ap.add_argument("--capacity", type=int, default=2048)
-    ap.add_argument("--decode_steps", type=int, default=128)
+    ap.add_argument("--decode_steps", type=int, default=256,
+                help="large enough to amortize the ~25ms dispatch overhead")
     ap.add_argument("--batch", type=int, default=1)
     ap.add_argument("--method", type=str, default="snapkv")
     ap.add_argument("--nbits", type=int, default=0,
@@ -89,12 +90,12 @@ def main():
         return toks, cache
 
     decode = jax.jit(decode_n, static_argnames=("n",))
-    # warmup/compile
-    toks, _ = decode(params, first_tok, pre.cache, n=8)
-    jax.block_until_ready(toks)
+    # warmup/compile with the SAME step count (a different n recompiles)
+    toks, _ = decode(params, first_tok, pre.cache, n=steps)
+    _ = int(np.asarray(toks)[0, 0])
     t0 = time.perf_counter()
     toks, _ = decode(params, first_tok, pre.cache, n=steps)
-    jax.block_until_ready(toks)
+    _ = int(np.asarray(toks)[0, 0])  # host readback: force full execution
     decode_s = time.perf_counter() - t0
     toks_per_s = steps * B / decode_s
 
