@@ -43,6 +43,9 @@ class ModelConfig:
     head_dim: int = 128
     max_position_embeddings: int = 8192
     rope_theta: float = 10000.0
+    # HF rope_scaling (hashable): ("llama3", factor, low_freq_factor,
+    # high_freq_factor, original_max_position) or ("linear", factor, 0, 0, 0).
+    rope_scaling: Optional[Tuple[str, float, float, float, int]] = None
     rms_norm_eps: float = 1e-5
     sliding_window: Optional[int] = None  # Mistral v0.1 uses 4096
     tie_word_embeddings: bool = False
@@ -71,6 +74,7 @@ class ModelConfig:
             head_dim=head_dim,
             max_position_embeddings=cfg.get("max_position_embeddings", 8192),
             rope_theta=cfg.get("rope_theta", 10000.0),
+            rope_scaling=_rope_scaling_tuple(cfg.get("rope_scaling")),
             rms_norm_eps=cfg.get("rms_norm_eps", 1e-5),
             sliding_window=cfg.get("sliding_window"),
             tie_word_embeddings=cfg.get("tie_word_embeddings", False),
@@ -82,6 +86,17 @@ class ModelConfig:
     def from_json(path: str) -> "ModelConfig":
         with open(path) as f:
             return ModelConfig.from_hf_config(json.load(f))
+
+
+def _rope_scaling_tuple(rs):
+    """HF rope_scaling dict -> hashable tuple (or None)."""
+    if not rs:
+        return None
+    rope_type = rs.get("rope_type") or rs.get("type")
+    return (rope_type, float(rs.get("factor", 1.0)),
+            float(rs.get("low_freq_factor", 0.0)),
+            float(rs.get("high_freq_factor", 0.0)),
+            int(rs.get("original_max_position_embeddings", 0)))
 
 
 # ---------------------------------------------------------------------------

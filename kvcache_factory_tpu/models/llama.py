@@ -47,10 +47,34 @@ def rms_norm(x: jnp.ndarray, weight: jnp.ndarray, eps: float) -> jnp.ndarray:
     return (normed * weight.astype(jnp.float32)).astype(x.dtype)
 
 
-def rope_tables(cfg: ModelConfig, max_len: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """cos/sin tables [max_len, head_dim] (HF half-rotation convention)."""
+def rope_inv_freq(cfg: ModelConfig) -> jnp.ndarray:
+    """Base inverse frequencies with optional HF rope_scaling applied
+    ("linear" and "llama3" frequency-dependent scaling per HF
+    modeling_rope_utils)."""
     d = cfg.head_dim
     inv_freq = 1.0 / (cfg.rope_theta ** (jnp.arange(0, d, 2, dtype=jnp.float32) / d))
+    rs = cfg.rope_scaling
+    if rs is None:
+        return inv_freq
+    rope_type, factor, low_f, high_f, orig_max = rs
+    if rope_type == "linear":
+        return inv_freq / factor
+    if rope_type == "llama3":
+        low_wavelen = orig_max / low_f
+        high_wavelen = orig_max / high_f
+        wavelen = 2 * jnp.pi / inv_freq
+        scaled = inv_freq / factor
+        smooth = (orig_max / wavelen - low_f) / (high_f - low_f)
+        smoothed = (1 - smooth) / factor * inv_freq + smooth * inv_freq
+        out = jnp.where(wavelen > low_wavelen, scaled, inv_freq)
+        is_medium = (wavelen <= low_wavelen) & (wavelen >= high_wavelen)
+        return jnp.where(is_medium, smoothed, out)
+    raise ValueError(f"unsupported rope_scaling type {rope_type!r}")
+
+
+def rope_tables(cfg: ModelConfig, max_len: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """cos/sin tables [max_len, head_dim] (HF half-rotation convention)."""
+    inv_freq = rope_inv_freq(cfg)
     t = jnp.arange(max_len, dtype=jnp.float32)
     freqs = jnp.outer(t, inv_freq)  # [max_len, d/2]
     emb = jnp.concatenate([freqs, freqs], axis=-1)
@@ -305,8 +329,7 @@ def decode_step(
     x = params["embed"][tokens].astype(dtype)[:, None]  # [B, 1, hidden]
     # RoPE position = uncompressed token count (reference _seen_tokens sync).
     pos = cache.positions  # [B]
-    d = cfg.head_dim
-    inv_freq = 1.0 / (cfg.rope_theta ** (jnp.arange(0, d, 2, dtype=jnp.float32) / d))
+    inv_freq = rope_inv_freq(cfg)
     freqs = pos[:, None].astype(jnp.float32) * inv_freq[None]  # [B, d/2]
     emb = jnp.concatenate([freqs, freqs], axis=-1)[:, None]  # [B, 1, d]
     cos, sin = jnp.cos(emb), jnp.sin(emb)

@@ -223,3 +223,51 @@ def test_needle_viz_scores(tmp_path):
     rows = load_scores(str(d))
     assert rows[0]["Score"] == 1.0
     assert overall_score(str(d)) == 1.0
+
+
+REFERENCE_DATA = "/root/reference/data"
+
+
+@pytest.mark.skipif(not os.path.isdir(REFERENCE_DATA),
+                    reason="reference data not mounted")
+def test_longbench_runner_on_real_reference_data(tiny_engine, tmp_path):
+    """End-to-end on the actual bundled LongBench jsonl (multi_news)."""
+    tok = ToyTokenizer()
+    out_path = tmp_path / "out" / "multi_news" / "SnapKV.json"
+    n = run_dataset(tiny_engine, tok, "multi_news",
+                    os.path.join(REFERENCE_DATA, "LongBench/multi_news.jsonl"),
+                    str(out_path), model_max=200, max_num_examples=2,
+                    progress=False)
+    assert n == 2
+    recs = [json.loads(l) for l in open(out_path)]
+    assert all(isinstance(r["pred"], str) for r in recs)
+    assert all(r["answers"] for r in recs)
+
+
+@pytest.mark.skipif(not os.path.isdir(REFERENCE_DATA),
+                    reason="reference data not mounted")
+def test_ruler_runner_on_real_reference_data(tiny_engine, tmp_path):
+    from kvcache_factory_tpu.evals.ruler import run_task
+    import glob
+    files = glob.glob(os.path.join(REFERENCE_DATA, "RULER/4096/*.jsonl"))
+    assert files
+    task = os.path.splitext(os.path.basename(files[0]))[0]
+    tok = ToyTokenizer()
+    out_path = tmp_path / "ruler" / task / "FullKV.json"
+    n = run_task(tiny_engine, tok, task, files[0], str(out_path),
+                 model_max=200, max_num_examples=1, progress=False)
+    assert n == 1
+
+
+@pytest.mark.skipif(not os.path.isdir(REFERENCE_DATA),
+                    reason="reference data not mounted")
+def test_needle_on_real_essays(tiny_engine, tmp_path):
+    from kvcache_factory_tpu.evals.needle import NeedleHaystackTester
+    tester = NeedleHaystackTester(
+        tiny_engine, ToyTokenizer(),
+        os.path.join(REFERENCE_DATA, "PaulGrahamEssays"),
+        str(tmp_path / "results"), context_lengths=[150],
+        depth_percents=[50], model_version="tiny-real",
+        print_status=False)
+    results = tester.run()
+    assert len(results) == 1 and 0 <= results[0]["score"] <= 10

@@ -195,3 +195,34 @@ def test_sampling_modes(llama_setup):
     k1 = run(GenerationConfig(max_new_tokens=new, do_sample=True,
                               temperature=5.0, top_k=1), seed=3)
     np.testing.assert_array_equal(greedy, k1)
+
+
+def test_llama3_rope_scaling_matches_hf():
+    """Llama-3.1-style rope_scaling logits parity vs HF."""
+    from transformers import LlamaConfig, LlamaForCausalLM
+    torch.manual_seed(13)
+    hf_cfg = LlamaConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=256, rope_theta=10000.0,
+        rope_scaling={"rope_type": "llama3", "factor": 8.0,
+                      "low_freq_factor": 1.0, "high_freq_factor": 4.0,
+                      "original_max_position_embeddings": 64},
+        tie_word_embeddings=False, attention_bias=False)
+    model = LlamaForCausalLM(hf_cfg)
+    model.eval()
+    cfg = ModelConfig.from_hf_config(hf_cfg)
+    cfg = type(cfg)(**{**cfg.__dict__, "dtype": "float32"})
+    assert cfg.rope_scaling is not None and cfg.rope_scaling[0] == "llama3"
+    params = params_from_state_dict(cfg, model.state_dict(), jnp.float32)
+
+    S = 96  # beyond original_max to exercise the scaled frequencies
+    rng = np.random.default_rng(13)
+    toks = rng.integers(0, cfg.vocab_size, size=(1, S))
+    with torch.no_grad():
+        hf_logits = model(torch.tensor(toks)).logits.numpy()
+    res = jl.prefill(params, cfg, FULL, jnp.asarray(toks, jnp.int32),
+                     jnp.asarray([S], jnp.int32), cache_capacity=S,
+                     return_all_logits=True)
+    np.testing.assert_allclose(np.asarray(res.all_logits), hf_logits,
+                               rtol=3e-4, atol=3e-4)
