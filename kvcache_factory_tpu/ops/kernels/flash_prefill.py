@@ -181,8 +181,8 @@ def flash_prefill_attention(
     v: jnp.ndarray,        # [Hkv, S, D]
     true_len: jnp.ndarray,  # scalar int32
     window: int,
-    q_block: int = 256,
-    kv_block: int = 512,
+    q_block: int = 1024,   # swept on v5e at 32k: 1024/1024 -> 65 TF/s
+    kv_block: int = 1024,
     interpret: bool = False,
     sparse_pattern: Optional[Tuple[int, int, int]] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
