@@ -284,7 +284,13 @@ def prefill(
 
 def _quant_tpu_layout(quant: QuantConfig, head_dim: int, capacity: int) -> bool:
     """The Pallas quant kernel streams int8 per-token-scale caches; it needs
-    a TPU backend, lane-aligned head_dim, 8-bit codes, 128-aligned capacity."""
+    a TPU backend, lane-aligned head_dim, 8-bit codes, 128-aligned capacity.
+    Gated behind KVCF_ENABLE_PALLAS_QUANT=1 until the in-graph Pallas decode
+    issue (see decode_step) is root-caused — the XLA quant path is used by
+    default."""
+    import os
+    if os.environ.get("KVCF_ENABLE_PALLAS_QUANT") != "1":
+        return False
     return (jax.default_backend() in ("tpu", "axon") and quant.nbits == 8
             and head_dim % 128 == 0 and capacity % 128 == 0)
 
@@ -321,8 +327,14 @@ def decode_step(
     else:
         cache_heads = (cache.qk if quantized else cache.k).shape[2]
     if attn_backend == "auto":
-        attn_backend = "pallas" if jax.default_backend() in ("tpu", "axon") \
-            else "xla"
+        # KNOWN ISSUE (round 1): the Pallas decode kernel passes every
+        # isolated parity test (interpret mode AND standalone/scan/in-graph
+        # on real TPU hardware) but produces wrong attention when embedded in
+        # the full decode_step graph on the axon v5e stack — a Mosaic/XLA
+        # interaction not yet root-caused (see CLAUDE.md).  Until fixed,
+        # "auto" selects the XLA path; pass attn_backend="pallas" explicitly
+        # to opt in.
+        attn_backend = "xla"
     use_pallas = (attn_backend == "pallas" and not quantized
                   and D % 128 == 0)  # kernel needs lane-aligned head_dim
 

@@ -47,7 +47,10 @@ def _decode_kernel(C: int, BLK: int, G: int, D: int, F: int,
                    ktile, vtile,        # VMEM [APPEND_TILE, D*F]
                    sems):               # DMA sems [4]
     h = pl.program_id(0)
-    L = lens_ref[h]
+    # Clamp: appending into a FULL cache would RMW out of bounds; the engine
+    # always leaves headroom, this guard overwrites the last slot instead of
+    # corrupting memory if it ever happens.
+    L = jnp.minimum(lens_ref[h], C - 1)
     n_blocks = C // BLK
     rows_per_blk = BLK // F
     DW = D * F  # row width in elements
