@@ -285,11 +285,11 @@ def prefill(
 def _quant_tpu_layout(quant: QuantConfig, head_dim: int, capacity: int) -> bool:
     """The Pallas quant kernel streams int8 per-token-scale caches; it needs
     a TPU backend, lane-aligned head_dim, 8-bit codes, 128-aligned capacity.
-    Gated behind KVCF_ENABLE_PALLAS_QUANT=1 until the in-graph Pallas decode
-    issue (see decode_step) is root-caused — the XLA quant path is used by
-    default."""
+    (The former KVCF_ENABLE_PALLAS_QUANT gate is gone: the in-graph
+    divergence was a missing 1/sqrt(D) scale, fixed in both kernels.)
+    Set KVCF_DISABLE_PALLAS_QUANT=1 to force the XLA quant path."""
     import os
-    if os.environ.get("KVCF_ENABLE_PALLAS_QUANT") != "1":
+    if os.environ.get("KVCF_DISABLE_PALLAS_QUANT") == "1":
         return False
     return (jax.default_backend() in ("tpu", "axon") and quant.nbits == 8
             and head_dim % 128 == 0 and capacity % 128 == 0)
@@ -327,14 +327,13 @@ def decode_step(
     else:
         cache_heads = (cache.qk if quantized else cache.k).shape[2]
     if attn_backend == "auto":
-        # KNOWN ISSUE (round 1): the Pallas decode kernel passes every
-        # isolated parity test (interpret mode AND standalone/scan/in-graph
-        # on real TPU hardware) but produces wrong attention when embedded in
-        # the full decode_step graph on the axon v5e stack — a Mosaic/XLA
-        # interaction not yet root-caused (see CLAUDE.md).  Until fixed,
-        # "auto" selects the XLA path; pass attn_backend="pallas" explicitly
-        # to opt in.
-        attn_backend = "xla"
+        # The round-1 "in-graph divergence" was a missing 1/sqrt(D) scale in
+        # the kernels (fixed; see tools/ab_decode_check.py) — Pallas is the
+        # default decode path on TPU backends.  The kernel keeps softmax
+        # probabilities in fp32 (the XLA path round-trips them through bf16),
+        # so outputs agree to one bf16 ulp with the kernel the more accurate.
+        on_tpu = jax.default_backend() in ("tpu", "axon")
+        attn_backend = "pallas" if (on_tpu and D % 128 == 0) else "xla"
     use_pallas = (attn_backend == "pallas" and not quantized
                   and D % 128 == 0)  # kernel needs lane-aligned head_dim
 

@@ -100,7 +100,11 @@ def _decode_kernel(C: int, BLK: int, G: int, D: int, F: int,
     get_k(0, 0).start()
     get_v(0, 0).start()
 
-    q = q_ref[0].astype(jnp.float32)  # [G, D]
+    # Standard scaled attention: fold 1/sqrt(D) into q once so both the
+    # streamed-block dots and the new-token dot are scaled (this was the
+    # round-1 "in-graph divergence" — the kernel computed softmax(QK^T)
+    # without the scale while the XLA path scales in grouped_attention).
+    q = q_ref[0].astype(jnp.float32) * (D ** -0.5)  # [G, D]
 
     def body(blk, carry):
         m, l, acc = carry  # [G,1], [G,1], [G,D] f32

@@ -58,7 +58,10 @@ def _quant_decode_kernel(C: int, Cr: int, G: int, D: int,
     L = lens_ref[h]
     n_blocks = C // TOK_BLK
 
-    q = q_ref[0].astype(jnp.float32)            # [G, D]
+    # 1/sqrt(D) folded into q once: scales the code dots, the zero-point
+    # correction (qsum), and the new-token fold-in — matching the XLA path's
+    # grouped_attention scaling (missing scale was the round-1 divergence).
+    q = q_ref[0].astype(jnp.float32) * (D ** -0.5)  # [G, D]
     qsum = jnp.sum(q, axis=-1, keepdims=True)   # [G, 1]
 
     # ------------------------------------------------------------------

@@ -1,14 +1,18 @@
 """Real-TPU A/B check: decode_step with attn_backend="pallas" vs "xla".
 
-Documents the open round-1 issue: the Pallas decode kernel passes every
-isolated parity test (interpret mode, standalone on hardware, under lax.scan,
-with in-graph operands incl. RoPE) but diverges when embedded in the full
-decode_step graph on the axon v5e stack.  Until root-caused, decode_step's
-"auto" backend selects XLA (correct, 137.7 tok/s vs the kernel's 146).
+History: round 1 shipped the Pallas decode kernels without the 1/sqrt(D)
+softmax scale; every isolated "parity" check compared against equally
+unscaled references, so the bug only surfaced inside the full decode graph
+(where the XLA path scales in grouped_attention).  Fixed; this tool is the
+regression gate.
+
+Criterion: teacher-forced — both backends decode the SAME greedy token
+sequence (from the XLA path), so per-step logits are comparable.  bf16
+accumulation differs legitimately between the two paths (the kernel keeps
+softmax probs in fp32; XLA casts them to bf16), so we assert a logit
+tolerance, not trajectory equality.
 
 Run on a TPU host: python tools/ab_decode_check.py
-Expected (while the bug lives): the assertion fires for the explicit pallas
-backend. When it stops firing, flip decode_step's "auto" back to pallas.
 """
 import os, sys
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
@@ -28,25 +32,44 @@ toks = jnp.asarray(np.random.default_rng(0).integers(0, 32000, (1, S)), jnp.int3
 tl = jnp.full((1,), S, jnp.int32)
 pre = jax.jit(lambda p,t,l: llama.prefill(p,cfg,comp,t,l,cache_capacity=CC))(params, toks, tl)
 tok = jnp.argmax(pre.logits_last, -1).astype(jnp.int32)
+N = 24
 
 @functools.partial(jax.jit, static_argnames=("backend",))
-def dec(params, tok, cache, backend):
+def free_run(params, tok, cache, backend):
     def body(c, _):
         t, cache = c
         lg, cache = llama.decode_step(params, cfg, t, cache,
                                       attn_backend=backend)
         return (jnp.argmax(lg, -1).astype(jnp.int32), cache), lg
-    (t, _), lgs = jax.lax.scan(body, (tok, cache), None, length=24)
+    (t, _), lgs = jax.lax.scan(body, (tok, cache), None, length=N)
     return lgs
 
-lg_pallas = np.asarray(dec(params, tok, pre.cache, "pallas"))
-lg_xla = np.asarray(dec(params, tok, pre.cache, "xla"))
-tok_p = lg_pallas.argmax(-1)[:, 0]
-tok_x = lg_xla.argmax(-1)[:, 0]
-print("pallas tokens:", tok_p[:12].tolist())
-print("xla tokens:   ", tok_x[:12].tolist())
-same = (tok_p == tok_x).mean()
-err = np.abs(lg_pallas - lg_xla).max() / np.abs(lg_xla).max()
-print(f"token agreement {same*100:.0f}%  rel logit err {err:.2e}")
-assert same == 1.0, "pallas decode diverged from XLA on real TPU"
-print("TPU A/B OK")
+@functools.partial(jax.jit, static_argnames=("backend",))
+def forced_run(params, seq, cache, backend):
+    def body(cache, t):
+        lg, cache = llama.decode_step(params, cfg, t, cache,
+                                      attn_backend=backend)
+        return cache, lg
+    _, lgs = jax.lax.scan(body, cache, seq)
+    return lgs
+
+lg_x = np.asarray(free_run(params, tok, pre.cache, "xla"))  # [N, B, V]
+seq = jnp.concatenate(
+    [tok[None], jnp.argmax(jnp.asarray(lg_x[:-1]), -1).astype(jnp.int32)], 0)
+lg_p = np.asarray(forced_run(params, seq, pre.cache, "pallas"))
+lg_x2 = np.asarray(forced_run(params, seq, pre.cache, "xla"))
+assert np.allclose(lg_x2, lg_x, atol=1e-5), "teacher forcing is broken"
+
+err = np.abs(lg_p - lg_x).max() / np.abs(lg_x).max()
+agree = (lg_p.argmax(-1) == lg_x.argmax(-1)).mean()
+# top-1 margin in XLA logits vs the observed perturbation: flips are only
+# acceptable where the margin is within the numeric noise.
+margin = np.sort(lg_x, axis=-1)
+margin = margin[..., -1] - margin[..., -2]
+flips = lg_p.argmax(-1) != lg_x.argmax(-1)
+bad_flips = flips & (margin > 4 * np.abs(lg_p - lg_x).max(-1))
+print(f"teacher-forced rel logit err {err:.2e}; argmax agreement "
+      f"{agree*100:.0f}%; confident flips {bad_flips.sum()}")
+assert err < 2.5e-2, f"pallas decode rel logit err too large: {err:.3e}"
+assert not bad_flips.any(), "pallas flipped a confidently-separated token"
+print("TPU A/B OK (bf16-tolerance criterion)")
