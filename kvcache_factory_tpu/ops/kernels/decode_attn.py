@@ -6,18 +6,38 @@ spots (SURVEY.md §3.2, §3.4):
    (csrc/csrc/cuda_api.cu:11-53) — here the new token is written into its
    per-head slot in HBM, in place, via ``input_output_aliases`` and an
    aligned read-modify-write DMA;
- * attention over the compressed cache — streamed block-by-block from HBM
-   into VMEM with double buffering and online-softmax accumulation, masked by
-   per-head valid lengths (ragged per-head budgets need no varlen metadata).
+ * attention over the compressed cache — streamed in a few large chunks per
+   head from HBM into VMEM through a *global* chunk pipeline that crosses
+   head (grid-program) boundaries: while head h computes on its chunks, head
+   h+1's first chunk is already in flight.  Per-head valid lengths mask the
+   ragged budgets, so no varlen metadata is needed.
+
+Decode attention is pure HBM bandwidth; the kernel's job is to keep one
+maximal-size DMA in flight at all times.  Chunks are ~C/2 rows (hundreds of
+KB), not small blocks — at decode the dots are trivial MXU/VPU work and every
+stall is a DMA gap.  (The first version used 512-row blocks double-buffered
+only within a head and reached ~15% of HBM bandwidth; the pipeline here keeps
+head-boundary bubbles out by handing each program the job of prefetching its
+successor's chunks.)
+
+Pipeline schedule (three VMEM slots, slot = global_chunk % 3):
+  program 0 primes chunks 0 and 1; every program, after waiting on chunk
+  ``gi``, starts chunk ``gi + 2`` — two-ahead never lands on the slot being
+  computed on (gi % 3) nor the one already in flight ((gi+1) % 3).
 
 Layout: cache [H, C, D] per batch element, q [H, G, D] where G = query heads
 per cache head (1 for reference-parity per-query-head caches,
-num_heads/num_kv_heads for grouped caches).  TPU memrefs are (8, 128)-tiled,
-so for head_dim < 128 the wrapper folds F = 128 // D capacity entries into
-each 128-lane row; all kernel DMAs slice only at row/tile granularity.
+num_heads/num_kv_heads for grouped caches).  TPU memrefs are (8/16, 128)-
+tiled; the kernel requires lane-aligned head_dim (D % 128 == 0) so every DMA
+slices at row granularity only (Mosaic cannot reshape across the 128-lane
+dim, so packing F entries per row is not viable).
 
 The kernel computes attention over the cache *plus* the incoming token (whose
-K/V stay in VMEM), so the append and the read never race.
+K/V stay in VMEM), so the append and the read never race: the appended entry
+(slot ``lens[h]``) is masked out of the streamed chunks (ids < L) and folded
+in exactly from registers; the RMW write-back rewrites every other row of its
+aligned window with identical bytes, so a chunk DMA overlapping it reads
+correct data regardless of ordering.
 """
 
 from __future__ import annotations
@@ -34,92 +54,106 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = float(jnp.finfo(jnp.float32).min)
 APPEND_TILE = 16  # sublane-aligned RMW window (rows) for the in-place append
 LANE = 128
+N_SLOTS = 3       # VMEM chunk buffers; two-ahead prefetch needs three
+MAX_BLK = 4096    # rows per chunk cap (keeps 6 slot buffers ~6 MB at D=128)
 
 
-def _decode_kernel(C: int, BLK: int, G: int, D: int, F: int,
+def _decode_kernel(C: int, BLK: int, NC: int, G: int, D: int, H: int,
                    lens_ref,            # scalar prefetch [H] (SMEM)
                    q_ref,               # VMEM [1, G, D]
                    knew_ref, vnew_ref,  # VMEM [1, 1, D]
-                   k_hbm, v_hbm,        # HBM [H, C//F, D*F] (aliased outputs)
+                   k_hbm, v_hbm,        # HBM [H, C, D] (aliased outputs)
                    out_ref,             # VMEM [1, G, D]
                    ko_hbm, vo_hbm,      # aliased outputs of k_hbm/v_hbm
-                   k_scratch, v_scratch,  # VMEM [2, BLK//F, D*F]
-                   ktile, vtile,        # VMEM [APPEND_TILE, D*F]
-                   sems):               # DMA sems [4]
+                   k_scratch, v_scratch,  # VMEM [N_SLOTS, BLK, D]
+                   ktile, vtile,        # VMEM [APPEND_TILE, D]
+                   chunk_sems,          # DMA sems [N_SLOTS, 2]
+                   app_sems):           # DMA sems [2]
     h = pl.program_id(0)
     # Clamp: appending into a FULL cache would RMW out of bounds; the engine
     # always leaves headroom, this guard overwrites the last slot instead of
     # corrupting memory if it ever happens.
     L = jnp.minimum(lens_ref[h], C - 1)
-    n_blocks = C // BLK
-    rows_per_blk = BLK // F
-    DW = D * F  # row width in elements
+
+    def chunk_copies(gi):
+        """DMA descriptor pair for global chunk gi = head * NC + c."""
+        hh = gi // NC
+        cc = gi % NC
+        slot = gi % N_SLOTS
+        ck = pltpu.make_async_copy(
+            k_hbm.at[hh, pl.ds(cc * BLK, BLK), :], k_scratch.at[slot],
+            chunk_sems.at[slot, 0])
+        cv = pltpu.make_async_copy(
+            v_hbm.at[hh, pl.ds(cc * BLK, BLK), :], v_scratch.at[slot],
+            chunk_sems.at[slot, 1])
+        return ck, cv
+
+    def start_chunk(gi):
+        ck, cv = chunk_copies(gi)
+        ck.start()
+        cv.start()
+
+    gi0 = h * NC
+    total = H * NC
+
+    # Prime the pipeline: program 0 starts the first two chunks; thereafter
+    # every program starts chunk gi+2 right after waiting on chunk gi, so by
+    # the time program h runs, both of its first two chunks are in flight.
+    @pl.when(h == 0)
+    def _():
+        start_chunk(0)
+        start_chunk(1)
 
     # ---- in-place append: new token K/V -> entry L of this head ----
-    # Entry L lives at row L//F, lane band (L%F)*D.  The aligned APPEND_TILE-
-    # row window containing it is read, the band is replaced in VMEM, and the
-    # window is written back; rows < L are rewritten with identical bytes, so
-    # concurrent block reads stay correct.
-    Lrow = L // F
-    Lt = (Lrow // APPEND_TILE) * APPEND_TILE
+    # The aligned APPEND_TILE-row window containing row L is read, row L is
+    # replaced in VMEM, and the window is written back; other rows rewrite
+    # identical bytes, and row L is masked out of the streamed attention, so
+    # chunk reads overlapping the write-back stay correct.
+    Lt = (L // APPEND_TILE) * APPEND_TILE
     tile_in_k = pltpu.make_async_copy(
-        k_hbm.at[h, pl.ds(Lt, APPEND_TILE), :], ktile, sems.at[2])
+        k_hbm.at[h, pl.ds(Lt, APPEND_TILE), :], ktile, app_sems.at[0])
     tile_in_v = pltpu.make_async_copy(
-        v_hbm.at[h, pl.ds(Lt, APPEND_TILE), :], vtile, sems.at[3])
+        v_hbm.at[h, pl.ds(Lt, APPEND_TILE), :], vtile, app_sems.at[1])
     tile_in_k.start()
     tile_in_v.start()
-    row = Lrow - Lt
-    band = (L % F) * D
-    row_ids = jax.lax.broadcasted_iota(jnp.int32, (APPEND_TILE, DW), 0)
-    lane_ids = jax.lax.broadcasted_iota(jnp.int32, (APPEND_TILE, DW), 1)
-    sel = (row_ids == row) & (lane_ids >= band) & (lane_ids < band + D)
-    # knew tiled across all F bands; `sel` picks the right one.
-    kn_t = jnp.concatenate([knew_ref[0]] * F, axis=-1)  # [1, DW]
-    vn_t = jnp.concatenate([vnew_ref[0]] * F, axis=-1)
+
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (APPEND_TILE, D), 0)
+    sel = row_ids == (L - Lt)
+    kn_t = knew_ref[0]  # [1, D]
+    vn_t = vnew_ref[0]
     tile_in_k.wait()
     tile_in_v.wait()
     ktile[:] = jnp.where(sel, kn_t, ktile[:])
     vtile[:] = jnp.where(sel, vn_t, vtile[:])
     append_k = pltpu.make_async_copy(
-        ktile, ko_hbm.at[h, pl.ds(Lt, APPEND_TILE), :], sems.at[2])
+        ktile, ko_hbm.at[h, pl.ds(Lt, APPEND_TILE), :], app_sems.at[0])
     append_v = pltpu.make_async_copy(
-        vtile, vo_hbm.at[h, pl.ds(Lt, APPEND_TILE), :], sems.at[3])
+        vtile, vo_hbm.at[h, pl.ds(Lt, APPEND_TILE), :], app_sems.at[1])
     append_k.start()
     append_v.start()
 
-    def get_k(slot, blk):
-        return pltpu.make_async_copy(
-            k_hbm.at[h, pl.ds(blk * rows_per_blk, rows_per_blk), :],
-            k_scratch.at[slot], sems.at[0])
-
-    def get_v(slot, blk):
-        return pltpu.make_async_copy(
-            v_hbm.at[h, pl.ds(blk * rows_per_blk, rows_per_blk), :],
-            v_scratch.at[slot], sems.at[1])
-
-    get_k(0, 0).start()
-    get_v(0, 0).start()
-
-    # Standard scaled attention: fold 1/sqrt(D) into q once so both the
-    # streamed-block dots and the new-token dot are scaled (this was the
-    # round-1 "in-graph divergence" — the kernel computed softmax(QK^T)
-    # without the scale while the XLA path scales in grouped_attention).
+    # Fold 1/sqrt(D) into q once so both the streamed-chunk dots and the
+    # new-token dot are scaled identically to the XLA grouped_attention path.
     q = q_ref[0].astype(jnp.float32) * (D ** -0.5)  # [G, D]
 
-    def body(blk, carry):
+    def chunk_body(c, carry):
         m, l, acc = carry  # [G,1], [G,1], [G,D] f32
-        slot = blk % 2
+        gi = gi0 + c
+        ck, cv = chunk_copies(gi)
+        ck.wait()
+        cv.wait()
 
-        @pl.when(blk + 1 < n_blocks)
+        # Keep the pipeline two chunks ahead (into slot (gi+2) % 3, disjoint
+        # from this chunk's slot and from the one already in flight).
+        @pl.when(gi + 2 < total)
         def _():
-            get_k((blk + 1) % 2, blk + 1).start()
-            get_v((blk + 1) % 2, blk + 1).start()
+            start_chunk(gi + 2)
 
-        get_k(slot, blk).wait()
-        kb = k_scratch[slot].astype(jnp.float32)  # [BLK, D] (F == 1)
+        slot = gi % N_SLOTS
+        kb = k_scratch[slot].astype(jnp.float32)  # [BLK, D]
         s = jax.lax.dot_general(q, kb, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)  # [G, BLK]
-        ids = blk * BLK + jax.lax.broadcasted_iota(jnp.int32, (G, BLK), 1)
+        ids = c * BLK + jax.lax.broadcasted_iota(jnp.int32, (G, BLK), 1)
         s = jnp.where(ids < L, s, NEG_INF)
 
         m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
@@ -127,8 +161,7 @@ def _decode_kernel(C: int, BLK: int, G: int, D: int, F: int,
         alpha = jnp.exp(m - m_new)
         l_new = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
 
-        get_v(slot, blk).wait()
-        vb = v_scratch[slot].astype(jnp.float32)  # [BLK, D] (F == 1)
+        vb = v_scratch[slot].astype(jnp.float32)  # [BLK, D]
         pv = jax.lax.dot_general(p, vb, (((1,), (0,)), ((), ())),
                                  preferred_element_type=jnp.float32)  # [G, D]
         acc_new = acc * alpha + pv
@@ -137,7 +170,7 @@ def _decode_kernel(C: int, BLK: int, G: int, D: int, F: int,
     m0 = jnp.full((G, 1), NEG_INF, jnp.float32)
     l0 = jnp.zeros((G, 1), jnp.float32)
     acc0 = jnp.zeros((G, D), jnp.float32)
-    m, l, acc = lax.fori_loop(0, n_blocks, body, (m0, l0, acc0))
+    m, l, acc = lax.fori_loop(0, NC, chunk_body, (m0, l0, acc0), unroll=True)
 
     # ---- fold in the just-appended token (K/V still in VMEM) ----
     kn = knew_ref[0].astype(jnp.float32)  # [1, D]
@@ -156,7 +189,7 @@ def _decode_kernel(C: int, BLK: int, G: int, D: int, F: int,
     append_v.wait()
 
 
-@functools.partial(jax.jit, static_argnames=("block_size", "interpret"))
+@functools.partial(jax.jit, static_argnames=("interpret",))
 def decode_attention_append(
     q: jnp.ndarray,        # [H, G, D]
     k_cache: jnp.ndarray,  # [H, C, D]
@@ -164,7 +197,6 @@ def decode_attention_append(
     lengths: jnp.ndarray,  # [H] int32
     k_new: jnp.ndarray,    # [H, D]
     v_new: jnp.ndarray,    # [H, D]
-    block_size: int = 512,
     interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Returns (out [H, G, D], k_cache', v_cache', lengths').
@@ -174,25 +206,20 @@ def decode_attention_append(
     """
     H, C, D = k_cache.shape
     G = q.shape[1]
-    # Mosaic cannot reshape vectors across the 128-lane dim, so packing
-    # multiple entries per row is not viable; the kernel requires lane-aligned
-    # head_dim (use the XLA path for smaller head dims).
     assert D % LANE == 0, f"pallas decode kernel requires head_dim % {LANE} == 0"
-    F = 1
 
-    # Pad capacity so C is a multiple of both the block and the RMW window.
-    BLK = min(block_size, _round_up(C, APPEND_TILE * F))
-    BLK = _round_up(BLK, APPEND_TILE * F)
-    C_pad = _round_up(C, BLK)
+    # As few, as large chunks as VMEM allows: near-half-cache DMAs (hundreds
+    # of KB) keep the HBM pipe full; the tiny capacity pad costs nothing next
+    # to the DMA efficiency of huge transfers.
+    NC = max(2, -(-C // MAX_BLK))
+    BLK = _round_up(-(-C // NC), APPEND_TILE)
+    C_pad = NC * BLK
     if C_pad != C:
         pad = ((0, 0), (0, C_pad - C), (0, 0))
         k_cache = jnp.pad(k_cache, pad)
         v_cache = jnp.pad(v_cache, pad)
 
-    kc = k_cache.reshape(H, C_pad // F, D * F)
-    vc = v_cache.reshape(H, C_pad // F, D * F)
-
-    kernel = functools.partial(_decode_kernel, C_pad, BLK, G, D, F)
+    kernel = functools.partial(_decode_kernel, C_pad, BLK, NC, G, D, H)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -214,11 +241,12 @@ def decode_attention_append(
             pl.BlockSpec(memory_space=pltpu.HBM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, BLK // F, D * F), k_cache.dtype),
-            pltpu.VMEM((2, BLK // F, D * F), v_cache.dtype),
-            pltpu.VMEM((APPEND_TILE, D * F), k_cache.dtype),
-            pltpu.VMEM((APPEND_TILE, D * F), v_cache.dtype),
-            pltpu.SemaphoreType.DMA((4,)),
+            pltpu.VMEM((N_SLOTS, BLK, D), k_cache.dtype),
+            pltpu.VMEM((N_SLOTS, BLK, D), v_cache.dtype),
+            pltpu.VMEM((APPEND_TILE, D), k_cache.dtype),
+            pltpu.VMEM((APPEND_TILE, D), v_cache.dtype),
+            pltpu.SemaphoreType.DMA((N_SLOTS, 2)),
+            pltpu.SemaphoreType.DMA(2),
         ],
     )
 
@@ -227,18 +255,16 @@ def decode_attention_append(
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((H, G, D), q.dtype),
-            jax.ShapeDtypeStruct((H, C_pad // F, D * F), k_cache.dtype),
-            jax.ShapeDtypeStruct((H, C_pad // F, D * F), v_cache.dtype),
+            jax.ShapeDtypeStruct((H, C_pad, D), k_cache.dtype),
+            jax.ShapeDtypeStruct((H, C_pad, D), v_cache.dtype),
         ],
         # Indices include the scalar-prefetch operand: 0=lengths, 1=q,
         # 2=k_new, 3=v_new, 4=k_cache, 5=v_cache.
         input_output_aliases={4: 1, 5: 2},
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
-    )(lengths, q, k_new[:, None, :], v_new[:, None, :], kc, vc)
+    )(lengths, q, k_new[:, None, :], v_new[:, None, :], k_cache, v_cache)
 
-    k_out = k_out.reshape(H, C_pad, D)
-    v_out = v_out.reshape(H, C_pad, D)
     if C_pad != C:
         k_out = k_out[:, :C]
         v_out = v_out[:, :C]
