@@ -57,8 +57,9 @@ def main():
     S, B, steps = args.prompt_len, args.batch, args.decode_steps
     L = cfg.num_hidden_layers
     cache_capacity = comp.layer_capacity(L, S) + steps + 1
-    if quant is not None:
-        cache_capacity = -(-cache_capacity // 128) * 128
+    # Round capacity so the Pallas decode kernels engage (bf16 kernel needs
+    # C % 16 == 0; the int8 kernel's scale planes need C % 128 == 0).
+    cache_capacity = -(-cache_capacity // 128) * 128
 
     params = init_params(cfg, jax.random.PRNGKey(0))
     tokens = jnp.asarray(

@@ -335,7 +335,9 @@ def decode_step(
         on_tpu = jax.default_backend() in ("tpu", "axon")
         attn_backend = "pallas" if (on_tpu and D % 128 == 0) else "xla"
     use_pallas = (attn_backend == "pallas" and not quantized
-                  and D % 128 == 0)  # kernel needs lane-aligned head_dim
+                  and not quantized_tpu and not evicting
+                  and D % 128 == 0   # kernel needs lane-aligned head_dim
+                  and C % 16 == 0 and C >= 32)  # tile-aligned capacity
 
     x = params["embed"][tokens].astype(dtype)[:, None]  # [B, 1, hidden]
     # RoPE position = uncompressed token count (reference _seen_tokens sync).
@@ -345,8 +347,7 @@ def decode_step(
     emb = jnp.concatenate([freqs, freqs], axis=-1)[:, None]  # [B, 1, d]
     cos, sin = jnp.cos(emb), jnp.sin(emb)
 
-    def layer_fn(x, scanned):
-        lp, layer_cache = scanned
+    def qkv_rope(x, lp):
         h = rms_norm(x, lp["input_norm"], cfg.rms_norm_eps)
         qkv = h @ lp["qkv_proj"]
         q = _split_heads(qkv[..., :Hq * D], Hq, D)
@@ -354,11 +355,58 @@ def decode_step(
         v = _split_heads(qkv[..., (Hq + Hkv) * D:], Hkv, D)
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
-
         if cache_heads == Hq and Hq != Hkv:
             G = Hq // Hkv
             k = jnp.repeat(k, G, axis=1)
             v = jnp.repeat(v, G, axis=1)
+        return q, k, v
+
+    def finish_layer(x, attn, lp):
+        h = _merge_heads(attn) @ lp["o_proj"]
+        x = x + h
+        h2 = rms_norm(x, lp["post_norm"], cfg.rms_norm_eps)
+        return x + swiglu_fused(h2, lp["gate_up_proj"], lp["down_proj"])
+
+    if use_pallas:
+        # Zero-copy layer loop: the FULL stacked caches ride the scan carry
+        # and each layer's kernel aliases them in place, indexed by a dynamic
+        # layer id (scalar prefetch).  Scanning per-layer caches as xs/ys
+        # instead makes XLA materialize 2x [H, C, D] copies per layer —
+        # measured at ~3x the attention's own HBM traffic.
+        from ..ops.kernels.decode_attn import decode_attention_append_stacked
+        BH = B * cache_heads
+        Gq = Hq // cache_heads
+
+        def layer_fn_p(carry, scanned):
+            x, k_all, v_all, lens_all = carry
+            lp, li = scanned
+            q, k, v = qkv_rope(x, lp)
+            lens_l = lax.dynamic_index_in_dim(lens_all, li, 0, keepdims=False)
+            out, k_all, v_all, lens_l = decode_attention_append_stacked(
+                q.reshape(BH, Gq, D).astype(dtype), k_all, v_all, lens_l, li,
+                k.astype(dtype).reshape(BH, D),
+                v.astype(dtype).reshape(BH, D))
+            lens_all = lax.dynamic_update_index_in_dim(lens_all, lens_l, li, 0)
+            x = finish_layer(x, out.reshape(B, Hq, 1, D), lp)
+            return (x, k_all, v_all, lens_all), None
+
+        carry0 = (x, cache.k.reshape(L, BH, C, D),
+                  cache.v.reshape(L, BH, C, D),
+                  cache.lengths.reshape(L, BH))
+        (x, k_all, v_all, lens_all), _ = lax.scan(
+            layer_fn_p, carry0,
+            (params["layers"], jnp.arange(L, dtype=jnp.int32)))
+        x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
+        logits = (x[:, 0] @ params["lm_head"]).astype(jnp.float32)  # [B, V]
+        new_cache = KVCache(k=k_all.reshape(L, B, cache_heads, C, D),
+                            v=v_all.reshape(L, B, cache_heads, C, D),
+                            lengths=lens_all.reshape(L, B, cache_heads),
+                            positions=cache.positions + 1)
+        return logits, new_cache
+
+    def layer_fn(x, scanned):
+        lp, layer_cache = scanned
+        q, k, v = qkv_rope(x, lp)
 
         if quantized_tpu:
             from ..ops.kernels.decode_attn_quant import \
@@ -413,21 +461,6 @@ def decode_step(
                              v_cache, preferred_element_type=jnp.float32)
             attn = out.reshape(B, Hq, 1, D).astype(q.dtype)
             layer_cache = (k_cache, v_cache, sc, stp, lens)
-        elif use_pallas:
-            from ..ops.kernels.decode_attn import decode_attention_append
-            k_cache, v_cache, lens = layer_cache
-            Gq = Hq // cache_heads
-            out, k_cache, v_cache, lens = decode_attention_append(
-                q.reshape(B * cache_heads, Gq, D).astype(dtype),
-                k_cache.reshape(B * cache_heads, C, D),
-                v_cache.reshape(B * cache_heads, C, D),
-                lens.reshape(B * cache_heads),
-                k.astype(dtype).reshape(B * cache_heads, D),
-                v.astype(dtype).reshape(B * cache_heads, D))
-            layer_cache = (k_cache.reshape(B, cache_heads, C, D),
-                           v_cache.reshape(B, cache_heads, C, D),
-                           lens.reshape(B, cache_heads))
-            attn = out.reshape(B, Hq, 1, D)
         else:
             k_cache, v_cache, lens = layer_cache
             k_cache, v_cache, lens = append_layer(
@@ -435,11 +468,7 @@ def decode_step(
             layer_cache = (k_cache, v_cache, lens)
             mask = valid_mask(lens, C)[:, :, None, :]  # [B, H, 1, C]
             attn = grouped_attention(q, k_cache, v_cache, mask)
-        h = _merge_heads(attn) @ lp["o_proj"]
-        x = x + h
-        h2 = rms_norm(x, lp["post_norm"], cfg.rms_norm_eps)
-        x = x + swiglu_fused(h2, lp["gate_up_proj"], lp["down_proj"])
-        return x, layer_cache
+        return finish_layer(x, attn, lp), layer_cache
 
     if evicting:
         layer_caches = (cache.k, cache.v, cache.scores, cache.stamps,

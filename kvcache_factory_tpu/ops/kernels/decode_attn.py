@@ -12,32 +12,42 @@ spots (SURVEY.md §3.2, §3.4):
    h+1's first chunk is already in flight.  Per-head valid lengths mask the
    ragged budgets, so no varlen metadata is needed.
 
+The kernel operates on the FULL layer-stacked caches [Lyr, H, C, D] with the
+layer index supplied as a scalar-prefetch value.  This is the key to making
+the whole decode step zero-copy: the layer loop carries the stacked caches
+through ``lax.scan`` and each iteration's kernel aliases them in place.
+Scanning per-layer caches as scan xs/ys instead (the first design) made XLA
+materialize a 2x [H, C, D] copy per layer (slice-in + stack-out), which cost
+more HBM traffic than the attention itself.
+
 Decode attention is pure HBM bandwidth; the kernel's job is to keep one
 maximal-size DMA in flight at all times.  Chunks are ~C/2 rows (hundreds of
-KB), not small blocks — at decode the dots are trivial MXU/VPU work and every
-stall is a DMA gap.  (The first version used 512-row blocks double-buffered
-only within a head and reached ~15% of HBM bandwidth; the pipeline here keeps
-head-boundary bubbles out by handing each program the job of prefetching its
-successor's chunks.)
+KB) — at decode the dots are trivial MXU/VPU work and every stall is a DMA
+gap.  Measured on v5e at H=16, C=2432, D=128: ~30 us/call ≈ 82% of HBM
+peak, vs ~15% for the first 512-row-block within-head double-buffer design.
 
 Pipeline schedule (three VMEM slots, slot = global_chunk % 3):
   program 0 primes chunks 0 and 1; every program, after waiting on chunk
   ``gi``, starts chunk ``gi + 2`` — two-ahead never lands on the slot being
   computed on (gi % 3) nor the one already in flight ((gi+1) % 3).
 
-Layout: cache [H, C, D] per batch element, q [H, G, D] where G = query heads
-per cache head (1 for reference-parity per-query-head caches,
-num_heads/num_kv_heads for grouped caches).  TPU memrefs are (8/16, 128)-
-tiled; the kernel requires lane-aligned head_dim (D % 128 == 0) so every DMA
-slices at row granularity only (Mosaic cannot reshape across the 128-lane
-dim, so packing F entries per row is not viable).
+Layout: cache [Lyr, H, C, D] (H = batch * cache heads), q [H, G, D] where
+G = query heads per cache head (1 for reference-parity per-query-head
+caches, num_heads/num_kv_heads for grouped caches).  TPU memrefs are
+(8/16, 128)-tiled; the kernel requires lane-aligned head_dim (D % 128 == 0)
+so every DMA slices at row granularity only (Mosaic cannot reshape across
+the 128-lane dim, so packing F entries per row is not viable), and capacity
+C % 16 == 0 so chunk and RMW windows stay sublane-tile aligned with no
+padding copy.  When C is not a multiple of NC*BLK the LAST chunk re-reads
+the tail window [C-BLK, C) and masks rows below c*BLK so nothing is double
+counted — sizes stay static, no pad.
 
-The kernel computes attention over the cache *plus* the incoming token (whose
-K/V stay in VMEM), so the append and the read never race: the appended entry
-(slot ``lens[h]``) is masked out of the streamed chunks (ids < L) and folded
-in exactly from registers; the RMW write-back rewrites every other row of its
-aligned window with identical bytes, so a chunk DMA overlapping it reads
-correct data regardless of ordering.
+The kernel computes attention over the cache *plus* the incoming token
+(whose K/V stay in VMEM), so the append and the read never race: the
+appended entry (slot ``lens[h]``) is masked out of the streamed chunks
+(ids < L) and folded in exactly from registers; the RMW write-back rewrites
+every other row of its aligned window with identical bytes, so a chunk DMA
+overlapping it reads correct data regardless of ordering.
 """
 
 from __future__ import annotations
@@ -60,9 +70,10 @@ MAX_BLK = 4096    # rows per chunk cap (keeps 6 slot buffers ~6 MB at D=128)
 
 def _decode_kernel(C: int, BLK: int, NC: int, G: int, D: int, H: int,
                    lens_ref,            # scalar prefetch [H] (SMEM)
+                   lidx_ref,            # scalar prefetch [1] (SMEM): layer
                    q_ref,               # VMEM [1, G, D]
                    knew_ref, vnew_ref,  # VMEM [1, 1, D]
-                   k_hbm, v_hbm,        # HBM [H, C, D] (aliased outputs)
+                   k_hbm, v_hbm,        # HBM [Lyr, H, C, D] (aliased outputs)
                    out_ref,             # VMEM [1, G, D]
                    ko_hbm, vo_hbm,      # aliased outputs of k_hbm/v_hbm
                    k_scratch, v_scratch,  # VMEM [N_SLOTS, BLK, D]
@@ -70,6 +81,7 @@ def _decode_kernel(C: int, BLK: int, NC: int, G: int, D: int, H: int,
                    chunk_sems,          # DMA sems [N_SLOTS, 2]
                    app_sems):           # DMA sems [2]
     h = pl.program_id(0)
+    li = lidx_ref[0]
     # Clamp: appending into a FULL cache would RMW out of bounds; the engine
     # always leaves headroom, this guard overwrites the last slot instead of
     # corrupting memory if it ever happens.
@@ -79,12 +91,18 @@ def _decode_kernel(C: int, BLK: int, NC: int, G: int, D: int, H: int,
         """DMA descriptor pair for global chunk gi = head * NC + c."""
         hh = gi // NC
         cc = gi % NC
+        # Last chunk re-reads the tail window when NC*BLK > C; rows below
+        # cc*BLK are masked out of the scores so nothing is double counted.
+        # The min runs in APPEND_TILE units with the multiply OUTSIDE so
+        # Mosaic can prove the dynamic slice start is sublane-tile aligned.
+        sc = jnp.minimum(cc * (BLK // APPEND_TILE),
+                         (C - BLK) // APPEND_TILE) * APPEND_TILE
         slot = gi % N_SLOTS
         ck = pltpu.make_async_copy(
-            k_hbm.at[hh, pl.ds(cc * BLK, BLK), :], k_scratch.at[slot],
+            k_hbm.at[li, hh, pl.ds(sc, BLK), :], k_scratch.at[slot],
             chunk_sems.at[slot, 0])
         cv = pltpu.make_async_copy(
-            v_hbm.at[hh, pl.ds(cc * BLK, BLK), :], v_scratch.at[slot],
+            v_hbm.at[li, hh, pl.ds(sc, BLK), :], v_scratch.at[slot],
             chunk_sems.at[slot, 1])
         return ck, cv
 
@@ -111,9 +129,9 @@ def _decode_kernel(C: int, BLK: int, NC: int, G: int, D: int, H: int,
     # chunk reads overlapping the write-back stay correct.
     Lt = (L // APPEND_TILE) * APPEND_TILE
     tile_in_k = pltpu.make_async_copy(
-        k_hbm.at[h, pl.ds(Lt, APPEND_TILE), :], ktile, app_sems.at[0])
+        k_hbm.at[li, h, pl.ds(Lt, APPEND_TILE), :], ktile, app_sems.at[0])
     tile_in_v = pltpu.make_async_copy(
-        v_hbm.at[h, pl.ds(Lt, APPEND_TILE), :], vtile, app_sems.at[1])
+        v_hbm.at[li, h, pl.ds(Lt, APPEND_TILE), :], vtile, app_sems.at[1])
     tile_in_k.start()
     tile_in_v.start()
 
@@ -126,9 +144,9 @@ def _decode_kernel(C: int, BLK: int, NC: int, G: int, D: int, H: int,
     ktile[:] = jnp.where(sel, kn_t, ktile[:])
     vtile[:] = jnp.where(sel, vn_t, vtile[:])
     append_k = pltpu.make_async_copy(
-        ktile, ko_hbm.at[h, pl.ds(Lt, APPEND_TILE), :], app_sems.at[0])
+        ktile, ko_hbm.at[li, h, pl.ds(Lt, APPEND_TILE), :], app_sems.at[0])
     append_v = pltpu.make_async_copy(
-        vtile, vo_hbm.at[h, pl.ds(Lt, APPEND_TILE), :], app_sems.at[1])
+        vtile, vo_hbm.at[li, h, pl.ds(Lt, APPEND_TILE), :], app_sems.at[1])
     append_k.start()
     append_v.start()
 
@@ -153,8 +171,9 @@ def _decode_kernel(C: int, BLK: int, NC: int, G: int, D: int, H: int,
         kb = k_scratch[slot].astype(jnp.float32)  # [BLK, D]
         s = jax.lax.dot_general(q, kb, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)  # [G, BLK]
-        ids = c * BLK + jax.lax.broadcasted_iota(jnp.int32, (G, BLK), 1)
-        s = jnp.where(ids < L, s, NEG_INF)
+        sc = jnp.minimum(c * BLK, C - BLK)  # last chunk re-reads the tail
+        ids = sc + jax.lax.broadcasted_iota(jnp.int32, (G, BLK), 1)
+        s = jnp.where((ids >= c * BLK) & (ids < L), s, NEG_INF)
 
         m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
         p = jnp.exp(s - m_new)
@@ -190,61 +209,60 @@ def _decode_kernel(C: int, BLK: int, NC: int, G: int, D: int, H: int,
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def decode_attention_append(
+def decode_attention_append_stacked(
     q: jnp.ndarray,        # [H, G, D]
-    k_cache: jnp.ndarray,  # [H, C, D]
-    v_cache: jnp.ndarray,  # [H, C, D]
-    lengths: jnp.ndarray,  # [H] int32
+    k_all: jnp.ndarray,    # [Lyr, H, C, D]
+    v_all: jnp.ndarray,    # [Lyr, H, C, D]
+    lengths: jnp.ndarray,  # [H] int32 (this layer's lengths)
+    layer: jnp.ndarray,    # [] or [1] int32 layer index
     k_new: jnp.ndarray,    # [H, D]
     v_new: jnp.ndarray,    # [H, D]
     interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Returns (out [H, G, D], k_cache', v_cache', lengths').
+    """Returns (out [H, G, D], k_all', v_all', lengths').
 
-    The caches are updated in place (entry ``lengths[h]`` receives the new
-    token); everything else is untouched — no O(C) rewrite per step.
+    Layer ``layer`` of the stacked caches is updated in place (entry
+    ``lengths[h]`` receives the new token); nothing else moves — the caller
+    keeps the stacks in a scan carry and the whole decode step is zero-copy.
     """
-    H, C, D = k_cache.shape
+    Lyr, H, C, D = k_all.shape
     G = q.shape[1]
     assert D % LANE == 0, f"pallas decode kernel requires head_dim % {LANE} == 0"
+    assert C % APPEND_TILE == 0 and C >= 2 * APPEND_TILE, \
+        f"capacity must be a multiple of {APPEND_TILE} (allocators round up)"
 
     # As few, as large chunks as VMEM allows: near-half-cache DMAs (hundreds
-    # of KB) keep the HBM pipe full; the tiny capacity pad costs nothing next
-    # to the DMA efficiency of huge transfers.
+    # of KB) keep the HBM pipe full.
     NC = max(2, -(-C // MAX_BLK))
-    BLK = _round_up(-(-C // NC), APPEND_TILE)
-    C_pad = NC * BLK
-    if C_pad != C:
-        pad = ((0, 0), (0, C_pad - C), (0, 0))
-        k_cache = jnp.pad(k_cache, pad)
-        v_cache = jnp.pad(v_cache, pad)
+    BLK = min(_round_up(-(-C // NC), APPEND_TILE), C)
 
-    kernel = functools.partial(_decode_kernel, C_pad, BLK, NC, G, D, H)
+    kernel = functools.partial(_decode_kernel, C, BLK, NC, G, D, H)
+    lidx = jnp.asarray(layer, jnp.int32).reshape(1)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(H,),
         in_specs=[
-            pl.BlockSpec((1, G, D), lambda h, lens: (h, 0, 0),
+            pl.BlockSpec((1, G, D), lambda h, lens, li: (h, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, D), lambda h, lens: (h, 0, 0),
+            pl.BlockSpec((1, 1, D), lambda h, lens, li: (h, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, D), lambda h, lens: (h, 0, 0),
+            pl.BlockSpec((1, 1, D), lambda h, lens, li: (h, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.HBM),
             pl.BlockSpec(memory_space=pltpu.HBM),
         ],
         out_specs=[
-            pl.BlockSpec((1, G, D), lambda h, lens: (h, 0, 0),
+            pl.BlockSpec((1, G, D), lambda h, lens, li: (h, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.HBM),
             pl.BlockSpec(memory_space=pltpu.HBM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((N_SLOTS, BLK, D), k_cache.dtype),
-            pltpu.VMEM((N_SLOTS, BLK, D), v_cache.dtype),
-            pltpu.VMEM((APPEND_TILE, D), k_cache.dtype),
-            pltpu.VMEM((APPEND_TILE, D), v_cache.dtype),
+            pltpu.VMEM((N_SLOTS, BLK, D), k_all.dtype),
+            pltpu.VMEM((N_SLOTS, BLK, D), v_all.dtype),
+            pltpu.VMEM((APPEND_TILE, D), k_all.dtype),
+            pltpu.VMEM((APPEND_TILE, D), v_all.dtype),
             pltpu.SemaphoreType.DMA((N_SLOTS, 2)),
             pltpu.SemaphoreType.DMA(2),
         ],
@@ -255,16 +273,46 @@ def decode_attention_append(
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((H, G, D), q.dtype),
-            jax.ShapeDtypeStruct((H, C_pad, D), k_cache.dtype),
-            jax.ShapeDtypeStruct((H, C_pad, D), v_cache.dtype),
+            jax.ShapeDtypeStruct(k_all.shape, k_all.dtype),
+            jax.ShapeDtypeStruct(v_all.shape, v_all.dtype),
         ],
-        # Indices include the scalar-prefetch operand: 0=lengths, 1=q,
-        # 2=k_new, 3=v_new, 4=k_cache, 5=v_cache.
-        input_output_aliases={4: 1, 5: 2},
+        # Indices include the scalar-prefetch operands: 0=lengths, 1=layer,
+        # 2=q, 3=k_new, 4=v_new, 5=k_all, 6=v_all.
+        input_output_aliases={5: 1, 6: 2},
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
-    )(lengths, q, k_new[:, None, :], v_new[:, None, :], k_cache, v_cache)
+    )(lengths, lidx, q, k_new[:, None, :], v_new[:, None, :], k_all, v_all)
 
+    return out, k_out, v_out, jnp.minimum(lengths + 1, C)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def decode_attention_append(
+    q: jnp.ndarray,        # [H, G, D]
+    k_cache: jnp.ndarray,  # [H, C, D]
+    v_cache: jnp.ndarray,  # [H, C, D]
+    lengths: jnp.ndarray,  # [H] int32
+    k_new: jnp.ndarray,    # [H, D]
+    v_new: jnp.ndarray,    # [H, D]
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Single-layer convenience wrapper: a stack of one layer.
+
+    Capacities that are not multiples of 16 are padded here (a copy — fine
+    for tests and one-off calls; the engine allocates 16-aligned capacities
+    and uses the stacked API, which never pads).
+    """
+    H, C, D = k_cache.shape
+    C_pad = max(_round_up(C, APPEND_TILE), 2 * APPEND_TILE)
+    if C_pad != C:
+        pad = ((0, 0), (0, C_pad - C), (0, 0))
+        k_cache = jnp.pad(k_cache, pad)
+        v_cache = jnp.pad(v_cache, pad)
+    out, k_out, v_out, _ = decode_attention_append_stacked(
+        q, k_cache[None], v_cache[None], lengths,
+        jnp.zeros((1,), jnp.int32), k_new, v_new, interpret=interpret)
+    k_out = k_out[0]
+    v_out = v_out[0]
     if C_pad != C:
         k_out = k_out[:, :C]
         v_out = v_out[:, :C]

@@ -27,7 +27,7 @@ cfg = ModelConfig(model_type="llama", vocab_size=32000, hidden_size=2048,
 params = init_params(cfg, jax.random.PRNGKey(0))
 comp = CompressionConfig(method="snapkv", max_capacity_prompt=512,
                          window_size=8, kernel_size=7, pooling="maxpool")
-S = 1024; CC = 512 + 40
+S = 1024; CC = 512 + 48  # 16-aligned so the Pallas decode path engages
 toks = jnp.asarray(np.random.default_rng(0).integers(0, 32000, (1, S)), jnp.int32)
 tl = jnp.full((1,), S, jnp.int32)
 pre = jax.jit(lambda p,t,l: llama.prefill(p,cfg,comp,t,l,cache_capacity=CC))(params, toks, tl)
