@@ -163,17 +163,16 @@ def append_layer_quant(layer_cache: Tuple, k_new: jnp.ndarray,
 
 class QuantKVCacheTPU(NamedTuple):
     """INT8 cache in the layout the Pallas quant decode kernel streams:
-    codes [L, B, H, C, D] int8; per-token scale/zero planes
-    [L, B, H, Cr, 128] bf16 with tokens on lanes (Cr = round_up(C/128, 16),
-    padded rows beyond C/128 unused).  One scale per (token, head) over the
-    full head_dim (q_group_size == head_dim)."""
+    codes [L, B, H, C, D] int8; ONE scale plane per head, [L, B, H, 4, C]
+    bf16 with TOKENS ON LANES and four rows (k_scale, k_zero, v_scale,
+    v_zero) — a chunk's per-token scale vector is a static lane slice, one
+    DMA loads the plane, and one [4, 128] lane-aligned RMW window appends
+    all four scalars.  One scale per (token, head) over the full head_dim
+    (q_group_size == head_dim)."""
 
     k_codes: jnp.ndarray
     v_codes: jnp.ndarray
-    k_scale: jnp.ndarray
-    k_zero: jnp.ndarray
-    v_scale: jnp.ndarray
-    v_zero: jnp.ndarray
+    scales: jnp.ndarray     # [L, B, H, 4, C] bf16
     lengths: jnp.ndarray    # [L, B, H] int32
     positions: jnp.ndarray  # [B] int32
 
@@ -197,17 +196,6 @@ def quantize_per_token(x: jnp.ndarray):
     return codes.astype(jnp.int8), scale, mn
 
 
-def _to_planes(x: jnp.ndarray, rows: int) -> jnp.ndarray:
-    """[..., C] per-token scalars -> [..., rows, 128] bf16 lane planes."""
-    *lead, C = x.shape
-    r = C // 128
-    planes = x.reshape(*lead, r, 128)
-    if rows > r:
-        pad = [(0, 0)] * len(lead) + [(0, rows - r), (0, 0)]
-        planes = jnp.pad(planes, pad)
-    return planes.astype(jnp.bfloat16)
-
-
 def from_packed_prefill_tpu(k: jnp.ndarray, v: jnp.ndarray,
                             lengths: jnp.ndarray, positions: jnp.ndarray
                             ) -> QuantKVCacheTPU:
@@ -215,11 +203,9 @@ def from_packed_prefill_tpu(k: jnp.ndarray, v: jnp.ndarray,
     multiple of 128; the engine rounds the capacity up)."""
     L, B, H, C, D = k.shape
     assert C % 128 == 0, f"quant TPU cache capacity {C} must be 128-aligned"
-    rows = _round_up(C // 128, 16)
     kc, ks, kz = quantize_per_token(k)
     vc, vs, vz = quantize_per_token(v)
-    return QuantKVCacheTPU(
-        k_codes=kc, v_codes=vc,
-        k_scale=_to_planes(ks, rows), k_zero=_to_planes(kz, rows),
-        v_scale=_to_planes(vs, rows), v_zero=_to_planes(vz, rows),
-        lengths=lengths, positions=positions)
+    scales = jnp.stack([p.astype(jnp.bfloat16) for p in (ks, kz, vs, vz)],
+                       axis=-2)  # [L, B, H, 4, C]
+    return QuantKVCacheTPU(k_codes=kc, v_codes=vc, scales=scales,
+                           lengths=lengths, positions=positions)

@@ -404,34 +404,51 @@ def decode_step(
                             positions=cache.positions + 1)
         return logits, new_cache
 
+    if quantized_tpu:
+        # Same zero-copy carry structure as the bf16 path, over int8 code
+        # stacks + the wide scale plane.
+        from ..ops.kernels.decode_attn_quant import \
+            quant_decode_attention_append_stacked
+        BH = B * cache_heads
+        Gq = Hq // cache_heads
+
+        def layer_fn_q(carry, scanned):
+            x, kc_all, vc_all, sc_all, lens_all = carry
+            lp, li = scanned
+            q, k, v = qkv_rope(x, lp)
+            lens_l = lax.dynamic_index_in_dim(lens_all, li, 0, keepdims=False)
+            out, kc_all, vc_all, sc_all, lens_l = \
+                quant_decode_attention_append_stacked(
+                    q.reshape(BH, Gq, D).astype(dtype), kc_all, vc_all,
+                    sc_all, lens_l, li,
+                    k.astype(dtype).reshape(BH, D),
+                    v.astype(dtype).reshape(BH, D))
+            lens_all = lax.dynamic_update_index_in_dim(lens_all, lens_l, li, 0)
+            x = finish_layer(x, out.reshape(B, Hq, 1, D), lp)
+            return (x, kc_all, vc_all, sc_all, lens_all), None
+
+        carry0 = (x, cache.k_codes.reshape(L, BH, C, D),
+                  cache.v_codes.reshape(L, BH, C, D),
+                  cache.scales.reshape(L, BH, 4, C),
+                  cache.lengths.reshape(L, BH))
+        (x, kc_all, vc_all, sc_all, lens_all), _ = lax.scan(
+            layer_fn_q, carry0,
+            (params["layers"], jnp.arange(L, dtype=jnp.int32)))
+        x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
+        logits = (x[:, 0] @ params["lm_head"]).astype(jnp.float32)  # [B, V]
+        new_cache = QuantKVCacheTPU(
+            k_codes=kc_all.reshape(L, B, cache_heads, C, D),
+            v_codes=vc_all.reshape(L, B, cache_heads, C, D),
+            scales=sc_all.reshape(L, B, cache_heads, 4, C),
+            lengths=lens_all.reshape(L, B, cache_heads),
+            positions=cache.positions + 1)
+        return logits, new_cache
+
     def layer_fn(x, scanned):
         lp, layer_cache = scanned
         q, k, v = qkv_rope(x, lp)
 
-        if quantized_tpu:
-            from ..ops.kernels.decode_attn_quant import \
-                quant_decode_attention_append
-            kc, vc, ks, kz, vs, vz, lens = layer_cache
-            Gq = Hq // cache_heads
-            BH = B * cache_heads
-            Cr = ks.shape[2]
-            res = quant_decode_attention_append(
-                q.reshape(BH, Gq, D).astype(dtype),
-                kc.reshape(BH, C, D), vc.reshape(BH, C, D),
-                ks.reshape(BH, Cr, 128), kz.reshape(BH, Cr, 128),
-                vs.reshape(BH, Cr, 128), vz.reshape(BH, Cr, 128),
-                lens.reshape(BH),
-                k.astype(dtype).reshape(BH, D), v.astype(dtype).reshape(BH, D))
-            out = res[0]
-            layer_cache = (res[1].reshape(B, cache_heads, C, D),
-                           res[2].reshape(B, cache_heads, C, D),
-                           res[3].reshape(B, cache_heads, Cr, 128),
-                           res[4].reshape(B, cache_heads, Cr, 128),
-                           res[5].reshape(B, cache_heads, Cr, 128),
-                           res[6].reshape(B, cache_heads, Cr, 128),
-                           res[7].reshape(B, cache_heads))
-            attn = out.reshape(B, Hq, 1, D)
-        elif quantized:
+        if quantized:
             layer_cache = append_layer_quant(layer_cache, k, v, quant)
             qk, qv, ks, kz, vs, vz, lens = layer_cache
             k_read = decode_values(qk, ks, kz, quant, dtype)
@@ -473,10 +490,6 @@ def decode_step(
     if evicting:
         layer_caches = (cache.k, cache.v, cache.scores, cache.stamps,
                         cache.lengths)
-    elif quantized_tpu:
-        layer_caches = (cache.k_codes, cache.v_codes, cache.k_scale,
-                        cache.k_zero, cache.v_scale, cache.v_zero,
-                        cache.lengths)
     elif quantized:
         layer_caches = (cache.qk, cache.qv, cache.k_scale, cache.k_zero,
                         cache.v_scale, cache.v_zero, cache.lengths)
@@ -490,10 +503,6 @@ def decode_step(
     if evicting:
         k_all, v_all, sc_all, st_all, len_all = out_caches
         new_cache = EvictingKVCache(k_all, v_all, sc_all, st_all, len_all,
-                                    cache.positions + 1)
-    elif quantized_tpu:
-        kc, vc, ks, kz, vs, vz, len_all = out_caches
-        new_cache = QuantKVCacheTPU(kc, vc, ks, kz, vs, vz, len_all,
                                     cache.positions + 1)
     elif quantized:
         qk, qv, ks, kz, vs, vz, len_all = out_caches

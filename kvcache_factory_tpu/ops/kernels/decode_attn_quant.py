@@ -18,9 +18,24 @@ reshape across the 128-lane dim):
 so scales/zeros only ever multiply along the token axis ([G, BLK] row
 vectors) and HBM streams int8 codes (2x less traffic than bf16).
 
-Layouts (per batch element; wrapper folds batch into H):
-    codes:  [H, C, D]   int8   (C mult of 32 — int8 sublane tile)
-    scales: [H, C//128, 128] bf16  (tokens on lanes; block row = 128 tokens)
+Structure mirrors the bf16 kernel (decode_attn.py): the kernel operates on
+the FULL layer-stacked caches [Lyr, H, C, D] with the layer index as a
+scalar-prefetch value, so the decode layer loop carries the stacks through
+``lax.scan`` aliased in place — zero cache copies.  Codes stream in ~C/2-row
+chunks through a 3-slot VMEM pipeline that crosses head boundaries (program
+0 primes chunks 0 and 1; after waiting on chunk gi every program starts
+chunk gi+2).  The chunk loop is a Python loop so every chunk's row offset is
+a compile-time constant.
+
+Scale layout: [4, C] bf16 per head — TOKENS ON LANES, four rows (k_scale,
+k_zero, v_scale, v_zero).  This makes the per-token scale vector of a chunk
+a plain static lane slice ``plane[0:1, sc:sc+BLK]``, so the whole chunk is
+two big MXU dots plus one softmax pass over [G, BLK]; token-on-sublane or
+128-token-row layouts force per-sub-block gathers/reshapes that Mosaic
+either forbids or lowers to ~15 tiny VPU ops per 128 tokens (the first two
+designs of this kernel; both were compute-bound at ~4x the int8 stream
+time).  One DMA loads the plane; one [4, 128] lane-aligned RMW window
+appends all four scalars of the new token.
 """
 
 from __future__ import annotations
@@ -35,39 +50,77 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = float(jnp.finfo(jnp.float32).min)
-TOK_BLK = 128          # tokens per inner block == scale-row width
+TOK_BLK = 128          # lane tile: RMW window width / capacity alignment
 CODE_TILE = 32         # int8 sublane tile (RMW window rows for code append)
-SCALE_TILE = 16        # bf16 sublane tile (RMW window rows for scale append)
+N_SLOTS = 3            # code-chunk VMEM buffers (two-ahead prefetch)
+MAX_BLK = 8192         # int8 rows per chunk cap (6 slot buffers ~6 MB at D=128)
+N_PLANES = 4           # k_scale, k_zero, v_scale, v_zero rows
 
 
-def _quant_decode_kernel(C: int, Cr: int, G: int, D: int,
+def _quant_decode_kernel(C: int, BLK: int, NC: int, G: int, D: int, H: int,
                          lens_ref,              # scalar prefetch [H]
+                         lidx_ref,              # scalar prefetch [1]
                          q_ref,                 # VMEM [1, G, D]
                          knew_ref, vnew_ref,    # VMEM [1, 1, D] (bf16/f32)
-                         kc_hbm, vc_hbm,        # HBM [H, C, D] int8
-                         ksc_hbm, kzr_hbm,      # HBM [H, C//128, 128] bf16
-                         vsc_hbm, vzr_hbm,      # HBM [H, C//128, 128] bf16
+                         kc_hbm, vc_hbm,        # HBM [Lyr, H, C, D] int8
+                         sc_hbm,                # HBM [Lyr, H, 4, C] bf16
                          out_ref,               # VMEM [1, G, D]
-                         kco, vco, ksco, kzro, vsco, vzro,  # aliased outputs
-                         kc_s, vc_s,            # VMEM [2, TOK_BLK, D] int8
-                         sc_s,                  # VMEM [4, Cr, 128] bf16 (all planes)
-                         kctile, vctile,        # VMEM [CODE_TILE, D] int8 (RMW)
-                         stiles,                # VMEM [4, SCALE_TILE, 128] bf16
-                         sems):                 # DMA sems [16]
+                         kco, vco, sco,         # aliased outputs
+                         kc_s, vc_s,            # VMEM [N_SLOTS, BLK, D] int8
+                         sc_s,                  # VMEM [2, 4, C] bf16
+                         kctile, vctile,        # VMEM [CODE_TILE, D] int8
+                         stile,                 # VMEM [4, TOK_BLK] bf16
+                         chunk_sems,            # DMA sems [N_SLOTS, 2]
+                         plane_sems,            # DMA sems [2]
+                         app_sems):             # DMA sems [3]
     h = pl.program_id(0)
-    L = lens_ref[h]
-    n_blocks = C // TOK_BLK
+    li = lidx_ref[0]
+    L = jnp.minimum(lens_ref[h], C - 1)
 
-    # 1/sqrt(D) folded into q once: scales the code dots, the zero-point
-    # correction (qsum), and the new-token fold-in — matching the XLA path's
-    # grouped_attention scaling (missing scale was the round-1 divergence).
-    q = q_ref[0].astype(jnp.float32) * (D ** -0.5)  # [G, D]
-    qsum = jnp.sum(q, axis=-1, keepdims=True)   # [G, 1]
+    def chunk_start_row(cc: int) -> int:
+        # Last chunk re-reads the tail window (mask keeps rows >= cc*BLK).
+        return min(cc * BLK, C - BLK)
 
-    # ------------------------------------------------------------------
-    # In-place quantized append of the new token (codes + scales), K then V.
-    # Quantize in-register: per-token affine over D.
-    # ------------------------------------------------------------------
+    def chunk_copies(gi):
+        hh = gi // NC
+        cc = gi % NC
+        # cc is traced here (gi includes the traced program id); compute the
+        # start in sublane-tile units so Mosaic can prove alignment.
+        sc = jnp.minimum(cc * (BLK // CODE_TILE),
+                         (C - BLK) // CODE_TILE) * CODE_TILE
+        slot = gi % N_SLOTS
+        ck = pltpu.make_async_copy(
+            kc_hbm.at[li, hh, pl.ds(sc, BLK), :], kc_s.at[slot],
+            chunk_sems.at[slot, 0])
+        cv = pltpu.make_async_copy(
+            vc_hbm.at[li, hh, pl.ds(sc, BLK), :], vc_s.at[slot],
+            chunk_sems.at[slot, 1])
+        return ck, cv
+
+    def plane_copy(hh):
+        return pltpu.make_async_copy(
+            sc_hbm.at[li, hh], sc_s.at[hh % 2], plane_sems.at[hh % 2])
+
+    def start_chunk(gi):
+        ck, cv = chunk_copies(gi)
+        ck.start()
+        cv.start()
+        # The head's scale plane rides with its first chunk (two heads'
+        # planes are never in flight into the same slot: plane h+2 starts
+        # only after program h+1 began, when program h is done with slot h%2).
+        @pl.when(gi % NC == 0)
+        def _():
+            plane_copy(gi // NC).start()
+
+    gi0 = h * NC
+    total = H * NC
+
+    @pl.when(h == 0)
+    def _():
+        start_chunk(0)
+        start_chunk(1)
+
+    # ---- in-place append: quantize the new token in-register ----
     def quantize(x):  # [1, D] f32 -> codes f32 in [0,255], scale, zero
         mn = jnp.min(x, axis=-1, keepdims=True)
         mx = jnp.max(x, axis=-1, keepdims=True)
@@ -80,142 +133,92 @@ def _quant_decode_kernel(C: int, Cr: int, G: int, D: int,
     kcodes, ks_new, kz_new = quantize(kn)
     vcodes, vs_new, vz_new = quantize(vn)
 
-    # All six RMW appends fly in parallel: start every read, modify the tiles
-    # in VMEM, start every write-back; completion is awaited before the first
-    # streamed block could overlap the written region (same-data rewrite makes
-    # ordering benign anyway — only row L changes and it is masked out).
     Lt_c = (L // CODE_TILE) * CODE_TILE
-    Lr = L // TOK_BLK
-    Lt_s = (Lr // SCALE_TILE) * SCALE_TILE
+    Lt_s = (L // TOK_BLK) * TOK_BLK  # lane-tile-aligned window start (tokens)
 
-    code_reads = [
-        pltpu.make_async_copy(kco.at[h, pl.ds(Lt_c, CODE_TILE), :], kctile,
-                              sems.at[4]),
-        pltpu.make_async_copy(vco.at[h, pl.ds(Lt_c, CODE_TILE), :], vctile,
-                              sems.at[5]),
+    rmw_reads = [
+        pltpu.make_async_copy(kco.at[li, h, pl.ds(Lt_c, CODE_TILE), :],
+                              kctile, app_sems.at[0]),
+        pltpu.make_async_copy(vco.at[li, h, pl.ds(Lt_c, CODE_TILE), :],
+                              vctile, app_sems.at[1]),
+        pltpu.make_async_copy(sco.at[li, h, :, pl.ds(Lt_s, TOK_BLK)],
+                              stile, app_sems.at[2]),
     ]
-    scale_outs = (ksco, kzro, vsco, vzro)
-    scale_reads = [
-        pltpu.make_async_copy(ref.at[h, pl.ds(Lt_s, SCALE_TILE), :],
-                              stiles.at[i], sems.at[6 + i])
-        for i, ref in enumerate(scale_outs)
-    ]
-    for cp in code_reads + scale_reads:
+    for cp in rmw_reads:
         cp.start()
-    for cp in code_reads + scale_reads:
+    for cp in rmw_reads:
         cp.wait()
 
     crow = jax.lax.broadcasted_iota(jnp.int32, (CODE_TILE, D), 0)
-    kctile[:] = jnp.where(crow == (L - Lt_c), (kcodes - 128.0).astype(jnp.int8),
-                          kctile[:])
-    vctile[:] = jnp.where(crow == (L - Lt_c), (vcodes - 128.0).astype(jnp.int8),
-                          vctile[:])
-    srow = jax.lax.broadcasted_iota(jnp.int32, (SCALE_TILE, TOK_BLK), 0)
-    slane = jax.lax.broadcasted_iota(jnp.int32, (SCALE_TILE, TOK_BLK), 1)
-    ssel = (srow == Lr - Lt_s) & (slane == L % TOK_BLK)
+    kctile[:] = jnp.where(crow == (L - Lt_c),
+                          (kcodes - 128.0).astype(jnp.int8), kctile[:])
+    vctile[:] = jnp.where(crow == (L - Lt_c),
+                          (vcodes - 128.0).astype(jnp.int8), vctile[:])
+    srow = jax.lax.broadcasted_iota(jnp.int32, (N_PLANES, TOK_BLK), 0)
+    slane = jax.lax.broadcasted_iota(jnp.int32, (N_PLANES, TOK_BLK), 1)
+    vals = stile[:]
     for i, val in enumerate((ks_new, kz_new, vs_new, vz_new)):
-        stiles[i] = jnp.where(ssel, val.astype(stiles.dtype), stiles[i])
+        vals = jnp.where((srow == i) & (slane == L - Lt_s),
+                         val.astype(stile.dtype), vals)
+    stile[:] = vals
 
-    code_writes = [
-        pltpu.make_async_copy(kctile, kco.at[h, pl.ds(Lt_c, CODE_TILE), :],
-                              sems.at[4]),
-        pltpu.make_async_copy(vctile, vco.at[h, pl.ds(Lt_c, CODE_TILE), :],
-                              sems.at[5]),
+    rmw_writes = [
+        pltpu.make_async_copy(kctile, kco.at[li, h, pl.ds(Lt_c, CODE_TILE), :],
+                              app_sems.at[0]),
+        pltpu.make_async_copy(vctile, vco.at[li, h, pl.ds(Lt_c, CODE_TILE), :],
+                              app_sems.at[1]),
+        pltpu.make_async_copy(stile, sco.at[li, h, :, pl.ds(Lt_s, TOK_BLK)],
+                              app_sems.at[2]),
     ]
-    scale_writes = [
-        pltpu.make_async_copy(stiles.at[i],
-                              ref.at[h, pl.ds(Lt_s, SCALE_TILE), :],
-                              sems.at[6 + i])
-        for i, ref in enumerate(scale_outs)
-    ]
-    for cp in code_writes + scale_writes:
+    for cp in rmw_writes:
         cp.start()
-    for cp in code_writes + scale_writes:
-        cp.wait()
 
-    # ------------------------------------------------------------------
-    # Streaming attention over the quantized cache.  Scale planes are tiny
-    # (Cr * 128 bf16 per plane) — load them all into VMEM once; per-block
-    # rows are then selected with a one-hot dot (no unaligned slicing).
-    # ------------------------------------------------------------------
-    plane_loads = [
-        pltpu.make_async_copy(ref.at[h], sc_s.at[i], sems.at[10 + i])
-        for i, ref in enumerate((ksc_hbm, kzr_hbm, vsc_hbm, vzr_hbm))
-    ]
-    for cp in plane_loads:
-        cp.start()
-    for cp in plane_loads:
-        cp.wait()
-    scales_all = sc_s[:].astype(jnp.float32)  # [4, Cr, 128]
-    row_iota = jax.lax.broadcasted_iota(jnp.int32, (1, Cr), 1)
+    # 1/sqrt(D) folded into q once: scales the code dots, the zero-point
+    # correction (qsum), and the new-token fold-in.
+    q = q_ref[0].astype(jnp.float32) * (D ** -0.5)  # [G, D]
+    qsum = jnp.sum(q, axis=-1, keepdims=True)       # [G, 1]
 
-    def get_codes(slot, blk):
-        a = pltpu.make_async_copy(
-            kc_hbm.at[h, pl.ds(blk * TOK_BLK, TOK_BLK), :], kc_s.at[slot],
-            sems.at[0])
-        b = pltpu.make_async_copy(
-            vc_hbm.at[h, pl.ds(blk * TOK_BLK, TOK_BLK), :], vc_s.at[slot],
-            sems.at[1])
-        return a, b
+    plane_copy(h).wait()
+    planes = sc_s[h % 2].astype(jnp.float32)  # [4, C] f32
 
-    def start_all(slot, blk):
-        a, b = get_codes(slot, blk)
-        a.start()
-        b.start()
+    m = jnp.full((G, 1), NEG_INF, jnp.float32)
+    l = jnp.zeros((G, 1), jnp.float32)
+    acc = jnp.zeros((G, D), jnp.float32)
 
-    def wait_all(slot, blk):
-        a, b = get_codes(slot, blk)
-        a.wait()
-        b.wait()
+    for c in range(NC):  # Python loop: chunk offsets are static
+        gi = gi0 + c
+        ck, cv = chunk_copies(gi)
+        ck.wait()
+        cv.wait()
 
-    start_all(0, 0)
+        @pl.when(gi + 2 < total)
+        def _(gi=gi):
+            start_chunk(gi + 2)
 
-    def body(blk, carry):
-        m, l, acc = carry
-        slot = blk % 2
+        slot = gi % N_SLOTS
+        sc0 = chunk_start_row(c)
 
-        @pl.when(blk + 1 < n_blocks)
-        def _():
-            start_all((blk + 1) % 2, blk + 1)
-
-        wait_all(slot, blk)
-        cb = kc_s[slot].astype(jnp.float32) + 128.0   # [BLK, D] codes
-        onehot = (row_iota == blk).astype(jnp.float32)  # [1, Cr]
-        ks = jax.lax.dot_general(onehot, scales_all[0],
-                                 (((1,), (0,)), ((), ())),
-                                 preferred_element_type=jnp.float32)  # [1, 128]
-        kz = jax.lax.dot_general(onehot, scales_all[1],
-                                 (((1,), (0,)), ((), ())),
-                                 preferred_element_type=jnp.float32)
-        vs = jax.lax.dot_general(onehot, scales_all[2],
-                                 (((1,), (0,)), ((), ())),
-                                 preferred_element_type=jnp.float32)
-        vz = jax.lax.dot_general(onehot, scales_all[3],
-                                 (((1,), (0,)), ((), ())),
-                                 preferred_element_type=jnp.float32)
-
+        cb = kc_s[slot].astype(jnp.float32) + 128.0       # [BLK, D]
         qc = jax.lax.dot_general(q, cb, (((1,), (1,)), ((), ())),
-                                 preferred_element_type=jnp.float32)  # [G, BLK]
-        s = qc * ks + qsum * kz
-        ids = blk * TOK_BLK + jax.lax.broadcasted_iota(jnp.int32, (G, TOK_BLK), 1)
-        s = jnp.where(ids < L, s, NEG_INF)
+                                 preferred_element_type=jnp.float32)  # [G,BLK]
+        ks_w = planes[0:1, sc0:sc0 + BLK]                 # static lane slices
+        kz_w = planes[1:2, sc0:sc0 + BLK]
+        s = qc * ks_w + qsum * kz_w                       # [G, BLK]
+        ids = sc0 + jax.lax.broadcasted_iota(jnp.int32, (G, BLK), 1)
+        s = jnp.where((ids >= c * BLK) & (ids < L), s, NEG_INF)
 
         m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
         p = jnp.exp(s - m_new)
         alpha = jnp.exp(m - m_new)
-        l_new = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
 
-        cvb = vc_s[slot].astype(jnp.float32) + 128.0  # [BLK, D]
-        pv = jax.lax.dot_general(p * vs, cvb, (((1,), (0,)), ((), ())),
+        cvb = vc_s[slot].astype(jnp.float32) + 128.0      # [BLK, D]
+        pw = p * planes[2:3, sc0:sc0 + BLK]
+        pv = jax.lax.dot_general(pw, cvb, (((1,), (0,)), ((), ())),
                                  preferred_element_type=jnp.float32)  # [G, D]
-        pz = jnp.sum(p * vz, axis=-1, keepdims=True)  # [G, 1]
-        acc_new = acc * alpha + pv + pz
-        return m_new, l_new, acc_new
-
-    m0 = jnp.full((G, 1), NEG_INF, jnp.float32)
-    l0 = jnp.zeros((G, 1), jnp.float32)
-    acc0 = jnp.zeros((G, D), jnp.float32)
-    m, l, acc = lax.fori_loop(0, n_blocks, body, (m0, l0, acc0))
+        pz = jnp.sum(p * planes[3:4, sc0:sc0 + BLK], axis=-1, keepdims=True)
+        acc = acc * alpha + pv + pz
+        m = m_new
 
     # Fold in the just-appended token exactly (fp values still in registers).
     s_new = jax.lax.dot_general(q, kn, (((1,), (1,)), ((), ())),
@@ -228,55 +231,60 @@ def _quant_decode_kernel(C: int, Cr: int, G: int, D: int,
 
     out_ref[0] = (acc_f / l_f).astype(out_ref.dtype)
 
+    for cp in rmw_writes:
+        cp.wait()
+
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def quant_decode_attention_append(
+def quant_decode_attention_append_stacked(
     q: jnp.ndarray,         # [H, G, D]
-    k_codes: jnp.ndarray,   # [H, C, D] int8
-    v_codes: jnp.ndarray,   # [H, C, D] int8
-    k_scale: jnp.ndarray,   # [H, C//128, 128] bf16
-    k_zero: jnp.ndarray,
-    v_scale: jnp.ndarray,
-    v_zero: jnp.ndarray,
-    lengths: jnp.ndarray,   # [H] int32
+    k_codes: jnp.ndarray,   # [Lyr, H, C, D] int8
+    v_codes: jnp.ndarray,   # [Lyr, H, C, D] int8
+    scales: jnp.ndarray,    # [Lyr, H, 4, C] bf16 (token-on-lanes planes)
+    lengths: jnp.ndarray,   # [H] int32 (this layer)
+    layer: jnp.ndarray,     # [] or [1] int32
     k_new: jnp.ndarray,     # [H, D] fp
     v_new: jnp.ndarray,
     interpret: bool = False,
 ):
-    """Returns (out [H,G,D], k_codes', v_codes', k_scale', k_zero', v_scale',
-    v_zero', lengths'), caches updated in place."""
-    H, C, D = k_codes.shape
+    """Returns (out [H,G,D], k_codes', v_codes', scales', lengths'); layer
+    ``layer`` of the stacks updated in place."""
+    Lyr, H, C, D = k_codes.shape
     G = q.shape[1]
     assert D % 128 == 0, "quant decode kernel requires lane-aligned head_dim"
     assert C % TOK_BLK == 0, f"capacity {C} must be a multiple of {TOK_BLK}"
-    # Scale planes carry their own row padding to a SCALE_TILE multiple.
-    assert k_scale.shape[1] % SCALE_TILE == 0 and k_scale.shape[1] >= C // TOK_BLK
+    assert scales.shape == (Lyr, H, N_PLANES, C), scales.shape
 
-    Cr = k_scale.shape[1]
-    kernel = functools.partial(_quant_decode_kernel, C, Cr, G, D)
+    NC = max(2, -(-C // MAX_BLK))
+    BLK = min(_round_up(-(-C // NC), TOK_BLK), C)
+    kernel = functools.partial(_quant_decode_kernel, C, BLK, NC, G, D, H)
+    lidx = jnp.asarray(layer, jnp.int32).reshape(1)
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(H,),
         in_specs=[
-            pl.BlockSpec((1, G, D), lambda h, lens: (h, 0, 0),
+            pl.BlockSpec((1, G, D), lambda h, lens, li: (h, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, D), lambda h, lens: (h, 0, 0),
+            pl.BlockSpec((1, 1, D), lambda h, lens, li: (h, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, D), lambda h, lens: (h, 0, 0),
+            pl.BlockSpec((1, 1, D), lambda h, lens, li: (h, 0, 0),
                          memory_space=pltpu.VMEM),
-        ] + [pl.BlockSpec(memory_space=pltpu.HBM)] * 6,
+        ] + [pl.BlockSpec(memory_space=pltpu.HBM)] * 3,
         out_specs=[
-            pl.BlockSpec((1, G, D), lambda h, lens: (h, 0, 0),
+            pl.BlockSpec((1, G, D), lambda h, lens, li: (h, 0, 0),
                          memory_space=pltpu.VMEM),
-        ] + [pl.BlockSpec(memory_space=pltpu.HBM)] * 6,
+        ] + [pl.BlockSpec(memory_space=pltpu.HBM)] * 3,
         scratch_shapes=[
-            pltpu.VMEM((2, TOK_BLK, D), jnp.int8),
-            pltpu.VMEM((2, TOK_BLK, D), jnp.int8),
-            pltpu.VMEM((4, Cr, TOK_BLK), k_scale.dtype),
+            pltpu.VMEM((N_SLOTS, BLK, D), jnp.int8),
+            pltpu.VMEM((N_SLOTS, BLK, D), jnp.int8),
+            pltpu.VMEM((2, N_PLANES, C), scales.dtype),
             pltpu.VMEM((CODE_TILE, D), jnp.int8),
             pltpu.VMEM((CODE_TILE, D), jnp.int8),
-            pltpu.VMEM((4, SCALE_TILE, TOK_BLK), k_scale.dtype),
-            pltpu.SemaphoreType.DMA((16,)),
+            pltpu.VMEM((N_PLANES, TOK_BLK), scales.dtype),
+            pltpu.SemaphoreType.DMA((N_SLOTS, 2)),
+            pltpu.SemaphoreType.DMA(2),
+            pltpu.SemaphoreType.DMA(3),
         ],
     )
 
@@ -287,18 +295,57 @@ def quant_decode_attention_append(
             jax.ShapeDtypeStruct((H, G, D), q.dtype),
             jax.ShapeDtypeStruct(k_codes.shape, jnp.int8),
             jax.ShapeDtypeStruct(v_codes.shape, jnp.int8),
-            jax.ShapeDtypeStruct(k_scale.shape, k_scale.dtype),
-            jax.ShapeDtypeStruct(k_zero.shape, k_zero.dtype),
-            jax.ShapeDtypeStruct(v_scale.shape, v_scale.dtype),
-            jax.ShapeDtypeStruct(v_zero.shape, v_zero.dtype),
+            jax.ShapeDtypeStruct(scales.shape, scales.dtype),
         ],
-        # operand idx (incl. scalar prefetch 0): q=1 kn=2 vn=3 kc=4 vc=5
-        # ks=6 kz=7 vs=8 vz=9
-        input_output_aliases={4: 1, 5: 2, 6: 3, 7: 4, 8: 5, 9: 6},
+        # operand idx (incl. scalar prefetch 0=lens, 1=layer): q=2 kn=3 vn=4
+        # kc=5 vc=6 scales=7
+        input_output_aliases={5: 1, 6: 2, 7: 3},
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
-    )(lengths, q, k_new[:, None, :], v_new[:, None, :],
-      k_codes, v_codes, k_scale, k_zero, v_scale, v_zero)
+    )(lengths, lidx, q, k_new[:, None, :], v_new[:, None, :],
+      k_codes, v_codes, scales)
 
-    out = outs[0]
-    return (out,) + tuple(outs[1:]) + (jnp.minimum(lengths + 1, C),)
+    out, kc, vc, sc = outs
+    return out, kc, vc, sc, jnp.minimum(lengths + 1, C)
+
+
+def quant_decode_attention_append(
+    q: jnp.ndarray,         # [H, G, D]
+    k_codes: jnp.ndarray,   # [H, C, D] int8
+    v_codes: jnp.ndarray,   # [H, C, D] int8
+    k_scale: jnp.ndarray,   # [H, Cr, 128] bf16 (legacy 128-token-row planes)
+    k_zero: jnp.ndarray,
+    v_scale: jnp.ndarray,
+    v_zero: jnp.ndarray,
+    lengths: jnp.ndarray,   # [H] int32
+    k_new: jnp.ndarray,     # [H, D] fp
+    v_new: jnp.ndarray,
+    interpret: bool = False,
+):
+    """Single-layer convenience wrapper over the stacked kernel (legacy
+    128-token-row scale planes in/out — the relayout copies are fine for
+    tests; the engine stores the wide [4, C] layout and calls the stacked
+    API)."""
+    H, C, D = k_codes.shape
+    Cr = k_scale.shape[1]
+
+    def to_wide(p):  # [H, Cr, 128] -> [H, C]
+        return p.reshape(H, Cr * 128)[:, :C]
+
+    scales = jnp.stack([to_wide(p) for p in (k_scale, k_zero,
+                                             v_scale, v_zero)], axis=1)
+    out, kc, vc, sc, lens = quant_decode_attention_append_stacked(
+        q, k_codes[None], v_codes[None], scales[None], lengths,
+        jnp.zeros((1,), jnp.int32), k_new, v_new, interpret=interpret)
+
+    def to_planes(p):  # [H, C] -> [H, Cr, 128]
+        pad = Cr * 128 - C
+        return jnp.pad(p, ((0, 0), (0, pad))).reshape(H, Cr, 128)
+
+    sc = sc[0]
+    return (out, kc[0], vc[0], to_planes(sc[:, 0]), to_planes(sc[:, 1]),
+            to_planes(sc[:, 2]), to_planes(sc[:, 3]), lens)
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m

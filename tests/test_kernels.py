@@ -15,10 +15,10 @@ import jax
 import jax.numpy as jnp
 
 from kvcache_factory_tpu.cache.quant_cache import (
-    _round_up, _to_planes, quantize_per_token)
+    quantize_per_token)
 from kvcache_factory_tpu.ops.kernels.decode_attn import decode_attention_append
 from kvcache_factory_tpu.ops.kernels.decode_attn_quant import (
-    quant_decode_attention_append)
+    quant_decode_attention_append_stacked)
 
 D = 128  # kernels require lane-aligned head_dim
 
@@ -116,38 +116,36 @@ def test_quant_decode_kernel_matches_scaled_reference(G):
     v_new = rng.normal(size=(H, D)).astype(np.float32)
     lens = np.asarray([0, 5, C // 2, C - 2], np.int32)
 
-    rows = _round_up(C // 128, 16)
     kc, ks, kz = quantize_per_token(jnp.asarray(k_fp))
     vc, vs, vz = quantize_per_token(jnp.asarray(v_fp))
-    ksp, kzp = _to_planes(ks, rows), _to_planes(kz, rows)
-    vsp, vzp = _to_planes(vs, rows), _to_planes(vz, rows)
+    scales = jnp.stack([p.astype(jnp.bfloat16) for p in (ks, kz, vs, vz)],
+                       axis=-2)  # [H, 4, C] wide token-on-lanes layout
 
-    res = quant_decode_attention_append(
-        jnp.asarray(q, jnp.float32), kc, vc, ksp, kzp, vsp, vzp,
-        jnp.asarray(lens), jnp.asarray(k_new), jnp.asarray(v_new),
-        interpret=True)
-    out = np.asarray(res[0], np.float32)
+    out, kc_o, vc_o, sc_o, lens_o = quant_decode_attention_append_stacked(
+        jnp.asarray(q, jnp.float32), kc[None], vc[None], scales[None],
+        jnp.asarray(lens), jnp.zeros((1,), jnp.int32),
+        jnp.asarray(k_new), jnp.asarray(v_new), interpret=True)
+    out = np.asarray(out, np.float32)
 
     # reference: dequantize with the SAME (bf16-stored) scales the kernel
     # streams, then scaled fp32 attention; new token attends exactly.
-    def deq(codes, scale_planes, zero_planes):
-        s = np.asarray(scale_planes, np.float32)[:, :C // 128].reshape(H, C, 1)
-        z = np.asarray(zero_planes, np.float32)[:, :C // 128].reshape(H, C, 1)
+    def deq(codes, sc, srow, zrow):
+        s = np.asarray(sc, np.float32)[:, srow, :, None]  # [H, C, 1]
+        z = np.asarray(sc, np.float32)[:, zrow, :, None]
         return (np.asarray(codes, np.float32) + 128.0) * s + z
 
-    k_deq = deq(kc, ksp, kzp)
-    v_deq = deq(vc, vsp, vzp)
+    k_deq = deq(kc, scales, 0, 1)
+    v_deq = deq(vc, scales, 2, 3)
     exp = ref_decode_attention(q, k_deq, v_deq, lens, k_new, v_new)
     np.testing.assert_allclose(out, exp, atol=5e-2, rtol=5e-2)
 
     # appended token roundtrips through int8 with per-token error bounds
-    kc_out = np.asarray(res[1])
     for h in range(H):
         L = int(lens[h])
-        got = deq(res[1], res[3], res[4])[h, L]
+        got = deq(kc_o[0], sc_o[0], 0, 1)[h, L]
         span = k_new[h].max() - k_new[h].min()
         # quantization step + bf16 rounding of the stored scale/zero
         np.testing.assert_allclose(got, k_new[h],
                                    atol=span / 255.0 + span * 2.0 ** -8)
-    np.testing.assert_array_equal(np.asarray(res[7]),
+    np.testing.assert_array_equal(np.asarray(lens_o),
                                   np.minimum(lens + 1, C))
