@@ -25,7 +25,7 @@ from ..cache.kv_cache import (EvictingKVCache, KVCache, append_layer,
                               evict_append_layer, init_cache,
                               init_eviction_stamps, valid_mask)
 from ..cache.quant_cache import (QuantizedKVCache, QuantKVCacheTPU,
-                                 append_layer_quant, decode_values,
+                                 decode_values, encode,
                                  from_packed_prefill, from_packed_prefill_tpu)
 from ..config import CompressionConfig, ModelConfig, QuantConfig, dtype_of
 from ..ops.attention import blocked_causal_attention
@@ -444,24 +444,69 @@ def decode_step(
             positions=cache.positions + 1)
         return logits, new_cache
 
-    def layer_fn(x, scanned):
-        lp, layer_cache = scanned
+    # ------------------------------------------------------------------
+    # XLA paths (plain fallback, quantized XLA, evicting): same zero-copy
+    # carry structure — full stacks ride the scan carry, single-token
+    # appends are scatters (``.at[li, b, h, idx].set``, in place on the
+    # donated carry; mode="drop" keeps the full-cache drop semantics of the
+    # masked-write append), and attention reads the layer's dynamic slice.
+    # Scanning per-layer caches as xs/ys instead costs 2x [B, H, C, D]
+    # copies per layer.
+    # ------------------------------------------------------------------
+    bi = jnp.arange(B)[:, None]            # [B, 1]
+    hi = jnp.arange(cache_heads)[None, :]  # [1, H]
+
+    def slice_l(stack, li):
+        return lax.dynamic_index_in_dim(stack, li, 0, keepdims=False)
+
+    def layer_fn(carry, scanned):
+        x, stacks = carry
+        lp, li = scanned
         q, k, v = qkv_rope(x, lp)
 
         if quantized:
-            layer_cache = append_layer_quant(layer_cache, k, v, quant)
-            qk, qv, ks, kz, vs, vz, lens = layer_cache
-            k_read = decode_values(qk, ks, kz, quant, dtype)
-            v_read = decode_values(qv, vs, vz, quant, dtype)
+            qk_a, qv_a, ks_a, kz_a, vs_a, vz_a, lens_all = stacks
+            lens = slice_l(lens_all, li)
+            nk, nks, nkz = encode(k.astype(dtype), quant)  # [B,H,1,D'],[B,H,1,G]
+            nv, nvs, nvz = encode(v.astype(dtype), quant)
+
+            def scat(stack, new):
+                return stack.at[li, bi, hi, lens].set(new[:, :, 0],
+                                                      mode="drop")
+
+            qk_a, qv_a = scat(qk_a, nk), scat(qv_a, nv)
+            ks_a, kz_a = scat(ks_a, nks), scat(kz_a, nkz)
+            vs_a, vz_a = scat(vs_a, nvs), scat(vz_a, nvz)
+            lens = jnp.minimum(lens + 1, C)
+            k_read = decode_values(slice_l(qk_a, li), slice_l(ks_a, li),
+                                   slice_l(kz_a, li), quant, dtype)
+            v_read = decode_values(slice_l(qv_a, li), slice_l(vs_a, li),
+                                   slice_l(vz_a, li), quant, dtype)
             mask = valid_mask(lens, C)[:, :, None, :]  # [B, H, 1, C]
             attn = grouped_attention(q, k_read, v_read, mask)
+            lens_all = lax.dynamic_update_index_in_dim(lens_all, lens, li, 0)
+            stacks = (qk_a, qv_a, ks_a, kz_a, vs_a, vz_a, lens_all)
         elif evicting:
             # Decode-stage compression (reference TODO README.md:31): attend,
             # accumulate per-slot attention mass, evict-append when full.
-            k_cache, v_cache, sc, stp, lens = layer_cache
-            k_cache, v_cache, sc, stp, lens = evict_append_layer(
-                k_cache, v_cache, sc, stp, lens, k.astype(dtype),
-                v.astype(dtype), pos, eviction_recent)
+            k_a, v_a, sc_a, st_a, lens_all = stacks
+            lens = slice_l(lens_all, li)
+            sc = slice_l(sc_a, li)      # [B, H, C] f32 (tiny)
+            st = slice_l(st_a, li)
+            protected = st >= (pos[:, None, None] - eviction_recent)
+            cand = jnp.where(protected, jnp.inf, sc)
+            evict_slot = jnp.argmin(cand, axis=-1).astype(jnp.int32)
+            target = jnp.where(lens < C, lens, evict_slot)  # always in range
+            k_a = k_a.at[li, bi, hi, target].set(k.astype(dtype)[:, :, 0])
+            v_a = v_a.at[li, bi, hi, target].set(v.astype(dtype)[:, :, 0])
+            st_a = st_a.at[li, bi, hi, target].set(
+                jnp.broadcast_to(pos[:, None], target.shape))
+            sc = jnp.where(lax.broadcasted_iota(jnp.int32, sc.shape, 2)
+                           == target[..., None], 0.0, sc)
+            lens = jnp.minimum(lens + 1, C)
+
+            k_cache = slice_l(k_a, li)
+            v_cache = slice_l(v_a, li)
             mask = valid_mask(lens, C)[:, :, None, :]
             Hk = k_cache.shape[1]
             Gq = Hq // Hk
@@ -477,39 +522,49 @@ def decode_step(
             out = jnp.einsum("bhgqk,bhkd->bhgqd", probs.astype(v_cache.dtype),
                              v_cache, preferred_element_type=jnp.float32)
             attn = out.reshape(B, Hq, 1, D).astype(q.dtype)
-            layer_cache = (k_cache, v_cache, sc, stp, lens)
+            sc_a = lax.dynamic_update_index_in_dim(sc_a, sc, li, 0)
+            lens_all = lax.dynamic_update_index_in_dim(lens_all, lens, li, 0)
+            stacks = (k_a, v_a, sc_a, st_a, lens_all)
         else:
-            k_cache, v_cache, lens = layer_cache
-            k_cache, v_cache, lens = append_layer(
-                k_cache, v_cache, lens, k.astype(dtype), v.astype(dtype))
-            layer_cache = (k_cache, v_cache, lens)
+            k_a, v_a, lens_all = stacks
+            lens = slice_l(lens_all, li)
+            k_a = k_a.at[li, bi, hi, lens].set(
+                k.astype(dtype)[:, :, 0], mode="drop")
+            v_a = v_a.at[li, bi, hi, lens].set(
+                v.astype(dtype)[:, :, 0], mode="drop")
+            lens = jnp.minimum(lens + 1, C)
             mask = valid_mask(lens, C)[:, :, None, :]  # [B, H, 1, C]
-            attn = grouped_attention(q, k_cache, v_cache, mask)
-        return finish_layer(x, attn, lp), layer_cache
+            attn = grouped_attention(q, slice_l(k_a, li), slice_l(v_a, li),
+                                     mask)
+            lens_all = lax.dynamic_update_index_in_dim(lens_all, lens, li, 0)
+            stacks = (k_a, v_a, lens_all)
+        return (finish_layer(x, attn, lp), stacks), None
 
     if evicting:
-        layer_caches = (cache.k, cache.v, cache.scores, cache.stamps,
-                        cache.lengths)
+        stacks0 = (cache.k, cache.v, cache.scores, cache.stamps,
+                   cache.lengths)
     elif quantized:
-        layer_caches = (cache.qk, cache.qv, cache.k_scale, cache.k_zero,
-                        cache.v_scale, cache.v_zero, cache.lengths)
+        stacks0 = (cache.qk, cache.qv, cache.k_scale, cache.k_zero,
+                   cache.v_scale, cache.v_zero, cache.lengths)
     else:
-        layer_caches = (cache.k, cache.v, cache.lengths)
-    x, out_caches = lax.scan(layer_fn, x, (params["layers"], layer_caches))
+        stacks0 = (cache.k, cache.v, cache.lengths)
+    (x, stacks), _ = lax.scan(layer_fn, (x, stacks0),
+                              (params["layers"],
+                               jnp.arange(L, dtype=jnp.int32)))
 
     x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
     logits = (x[:, 0] @ params["lm_head"]).astype(jnp.float32)  # [B, V]
 
     if evicting:
-        k_all, v_all, sc_all, st_all, len_all = out_caches
+        k_all, v_all, sc_all, st_all, len_all = stacks
         new_cache = EvictingKVCache(k_all, v_all, sc_all, st_all, len_all,
                                     cache.positions + 1)
     elif quantized:
-        qk, qv, ks, kz, vs, vz, len_all = out_caches
+        qk, qv, ks, kz, vs, vz, len_all = stacks
         new_cache = QuantizedKVCache(qk, qv, ks, kz, vs, vz, len_all,
                                      cache.positions + 1)
     else:
-        k_all, v_all, len_all = out_caches
+        k_all, v_all, len_all = stacks
         new_cache = KVCache(k=k_all, v=v_all, lengths=len_all,
                             positions=cache.positions + 1)
     return logits, new_cache
