@@ -21,8 +21,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from ..cache.kv_cache import (EvictingKVCache, KVCache, append_layer,
-                              evict_append_layer, init_cache,
+from ..cache.kv_cache import (EvictingKVCache, KVCache, init_cache,
                               init_eviction_stamps, valid_mask)
 from ..cache.quant_cache import (QuantizedKVCache, QuantKVCacheTPU,
                                  decode_values, encode,
