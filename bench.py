@@ -58,8 +58,10 @@ def main():
     L = cfg.num_hidden_layers
     cache_capacity = comp.layer_capacity(L, S) + steps + 1
     # Round capacity so the Pallas decode kernels engage (bf16 kernel needs
-    # C % 16 == 0; the int8 kernel's scale planes need C % 128 == 0).
-    cache_capacity = -(-cache_capacity // 128) * 128
+    # C % 16 == 0; the int8 kernel's scale planes need C % 128 == 0; the int4
+    # token-block nibble planes need C % 256 == 0).
+    align = 256 if args.nbits == 4 else 128
+    cache_capacity = -(-cache_capacity // align) * align
 
     params = init_params(cfg, jax.random.PRNGKey(0))
     tokens = jnp.asarray(

@@ -209,3 +209,81 @@ def from_packed_prefill_tpu(k: jnp.ndarray, v: jnp.ndarray,
                        axis=-2)  # [L, B, H, 4, C]
     return QuantKVCacheTPU(k_codes=kc, v_codes=vc, scales=scales,
                            lengths=lengths, positions=positions)
+
+
+# ---------------------------------------------------------------------------
+# INT4 TPU-kernel layout: two TOKENS per byte, block-packed along the token
+# axis
+# ---------------------------------------------------------------------------
+
+
+class QuantKVCacheTPU4(NamedTuple):
+    """INT4 cache in the layout the Pallas int4 decode kernel streams.
+
+    Mosaic cannot reshape across the 128-lane dim, which rules out the usual
+    channel-axis nibble packing (unpacking [*, D/2] -> [*, D] is a lane
+    reshape).  Instead two TOKENS share a byte, block-packed along the token
+    (sublane) axis: byte row ``t`` of a ``[C2, D]`` plane (``C2 = C // 2``)
+    holds token ``t`` in the low nibble and token ``C2 + t`` in the high
+    nibble.  Unpacking is elementwise bit-ops; a streamed chunk of byte rows
+    yields two token blocks whose per-token scale vectors are both static
+    lane slices of the SAME wide ``[4, C]`` scale plane (at ``sc0`` and
+    ``C2 + sc0``).  Bytes are stored biased by -128 so they fit int8.
+
+    One scale per (token, head) over the full head_dim, as in
+    :class:`QuantKVCacheTPU`.  Requires ``C % 256 == 0``.
+    """
+
+    k_codes: jnp.ndarray    # [L, B, H, C//2, D] int8 (biased packed nibbles)
+    v_codes: jnp.ndarray    # [L, B, H, C//2, D] int8
+    scales: jnp.ndarray     # [L, B, H, 4, C] bf16
+    lengths: jnp.ndarray    # [L, B, H] int32
+    positions: jnp.ndarray  # [B] int32
+
+    @property
+    def capacity(self) -> int:
+        return self.scales.shape[-1]
+
+
+def quantize_per_token4(x: jnp.ndarray):
+    """[..., C, D] -> (codes int32 in [0, 15], scale [..., C], zero [..., C])."""
+    xf = x.astype(jnp.float32)
+    mn = jnp.min(xf, axis=-1)
+    mx = jnp.max(xf, axis=-1)
+    scale = jnp.maximum(mx - mn, 1e-8) / 15.0
+    codes = jnp.clip(jnp.round((xf - mn[..., None]) / scale[..., None]),
+                     0, 15).astype(jnp.int32)
+    return codes, scale, mn
+
+
+def pack_tokens_int4(codes: jnp.ndarray) -> jnp.ndarray:
+    """[..., C, D] int codes (0..15) -> [..., C//2, D] int8, token-block
+    packed (row t = tokens t | (C//2 + t) << 4), biased by -128."""
+    C = codes.shape[-2]
+    C2 = C // 2
+    lo = codes[..., :C2, :]
+    hi = codes[..., C2:, :]
+    return ((lo | (hi << 4)) - 128).astype(jnp.int8)
+
+
+def unpack_tokens_int4(packed: jnp.ndarray) -> jnp.ndarray:
+    """[..., C//2, D] int8 -> [..., C, D] int32 codes (0..15)."""
+    p = (packed.astype(jnp.int32) + 128) & 0xFF
+    return jnp.concatenate([p & 0xF, (p >> 4) & 0xF], axis=-2)
+
+
+def from_packed_prefill_tpu4(k: jnp.ndarray, v: jnp.ndarray,
+                             lengths: jnp.ndarray, positions: jnp.ndarray
+                             ) -> QuantKVCacheTPU4:
+    """Quantize a prefill-packed dense cache [L, B, H, C, D] to int4 (C must
+    be a multiple of 256; the engine rounds the capacity up)."""
+    L, B, H, C, D = k.shape
+    assert C % 256 == 0, f"int4 TPU cache capacity {C} must be 256-aligned"
+    kc, ks, kz = quantize_per_token4(k)
+    vc, vs, vz = quantize_per_token4(v)
+    scales = jnp.stack([p.astype(jnp.bfloat16) for p in (ks, kz, vs, vz)],
+                       axis=-2)  # [L, B, H, 4, C]
+    return QuantKVCacheTPU4(k_codes=pack_tokens_int4(kc),
+                            v_codes=pack_tokens_int4(vc),
+                            scales=scales, lengths=lengths,
+                            positions=positions)

@@ -24,8 +24,9 @@ from jax import lax
 from ..cache.kv_cache import (EvictingKVCache, KVCache, init_cache,
                               init_eviction_stamps, valid_mask)
 from ..cache.quant_cache import (QuantizedKVCache, QuantKVCacheTPU,
-                                 decode_values, encode,
-                                 from_packed_prefill, from_packed_prefill_tpu)
+                                 QuantKVCacheTPU4, decode_values, encode,
+                                 from_packed_prefill, from_packed_prefill_tpu,
+                                 from_packed_prefill_tpu4)
 from ..config import CompressionConfig, ModelConfig, QuantConfig, dtype_of
 from ..ops.attention import blocked_causal_attention
 from ..policies.methods import LayerContext, compress_prefill
@@ -263,8 +264,10 @@ def prefill(
 
     if quant is not None:
         if _quant_tpu_layout(quant, D, cache_capacity):
-            cache = from_packed_prefill_tpu(k_all, v_all, len_all,
-                                            true_len.astype(jnp.int32))
+            make_tpu_cache = (from_packed_prefill_tpu4 if quant.nbits == 4
+                              else from_packed_prefill_tpu)
+            cache = make_tpu_cache(k_all, v_all, len_all,
+                                   true_len.astype(jnp.int32))
         else:
             cache = from_packed_prefill(k_all, v_all, len_all,
                                         true_len.astype(jnp.int32), quant)
@@ -282,16 +285,22 @@ def prefill(
 
 
 def _quant_tpu_layout(quant: QuantConfig, head_dim: int, capacity: int) -> bool:
-    """The Pallas quant kernel streams int8 per-token-scale caches; it needs
-    a TPU backend, lane-aligned head_dim, 8-bit codes, 128-aligned capacity.
-    (The former KVCF_ENABLE_PALLAS_QUANT gate is gone: the in-graph
-    divergence was a missing 1/sqrt(D) scale, fixed in both kernels.)
+    """The Pallas quant kernels stream per-token-scale caches; they need a
+    TPU backend, lane-aligned head_dim, and 128-aligned (int8) / 256-aligned
+    (int4 token-block nibbles) capacity.  (The former
+    KVCF_ENABLE_PALLAS_QUANT gate is gone: the in-graph divergence was a
+    missing 1/sqrt(D) scale, fixed in both kernels.)
     Set KVCF_DISABLE_PALLAS_QUANT=1 to force the XLA quant path."""
     import os
     if os.environ.get("KVCF_DISABLE_PALLAS_QUANT") == "1":
         return False
-    return (jax.default_backend() in ("tpu", "axon") and quant.nbits == 8
-            and head_dim % 128 == 0 and capacity % 128 == 0)
+    if jax.default_backend() not in ("tpu", "axon") or head_dim % 128 != 0:
+        return False
+    if quant.nbits == 8:
+        return capacity % 128 == 0
+    if quant.nbits == 4:
+        return capacity % 256 == 0
+    return False
 
 
 def decode_step(
@@ -318,10 +327,12 @@ def decode_step(
     C = cache.capacity
     quantized = isinstance(cache, QuantizedKVCache)
     quantized_tpu = isinstance(cache, QuantKVCacheTPU)
+    quantized_tpu4 = isinstance(cache, QuantKVCacheTPU4)
     evicting = isinstance(cache, EvictingKVCache)
-    assert (quantized or quantized_tpu) == (quant is not None), \
+    assert (quantized or quantized_tpu or quantized_tpu4) == \
+        (quant is not None), \
         "quant config must be passed iff the cache is quantized"
-    if quantized_tpu:
+    if quantized_tpu or quantized_tpu4:
         cache_heads = cache.k_codes.shape[2]
     else:
         cache_heads = (cache.qk if quantized else cache.k).shape[2]
@@ -334,7 +345,7 @@ def decode_step(
         on_tpu = jax.default_backend() in ("tpu", "axon")
         attn_backend = "pallas" if (on_tpu and D % 128 == 0) else "xla"
     use_pallas = (attn_backend == "pallas" and not quantized
-                  and not quantized_tpu and not evicting
+                  and not quantized_tpu and not quantized_tpu4 and not evicting
                   and D % 128 == 0   # kernel needs lane-aligned head_dim
                   and C % 16 == 0 and C >= 32)  # tile-aligned capacity
 
@@ -438,6 +449,47 @@ def decode_step(
         new_cache = QuantKVCacheTPU(
             k_codes=kc_all.reshape(L, B, cache_heads, C, D),
             v_codes=vc_all.reshape(L, B, cache_heads, C, D),
+            scales=sc_all.reshape(L, B, cache_heads, 4, C),
+            lengths=lens_all.reshape(L, B, cache_heads),
+            positions=cache.positions + 1)
+        return logits, new_cache
+
+    if quantized_tpu4:
+        # int4 token-block nibble cache: same zero-copy carry structure, with
+        # code planes of C//2 byte rows (two tokens per byte).
+        from ..ops.kernels.decode_attn_quant import \
+            quant4_decode_attention_append_stacked
+        BH = B * cache_heads
+        Gq = Hq // cache_heads
+        C2 = C // 2
+
+        def layer_fn_q4(carry, scanned):
+            x, kc_all, vc_all, sc_all, lens_all = carry
+            lp, li = scanned
+            q, k, v = qkv_rope(x, lp)
+            lens_l = lax.dynamic_index_in_dim(lens_all, li, 0, keepdims=False)
+            out, kc_all, vc_all, sc_all, lens_l = \
+                quant4_decode_attention_append_stacked(
+                    q.reshape(BH, Gq, D).astype(dtype), kc_all, vc_all,
+                    sc_all, lens_l, li,
+                    k.astype(dtype).reshape(BH, D),
+                    v.astype(dtype).reshape(BH, D))
+            lens_all = lax.dynamic_update_index_in_dim(lens_all, lens_l, li, 0)
+            x = finish_layer(x, out.reshape(B, Hq, 1, D), lp)
+            return (x, kc_all, vc_all, sc_all, lens_all), None
+
+        carry0 = (x, cache.k_codes.reshape(L, BH, C2, D),
+                  cache.v_codes.reshape(L, BH, C2, D),
+                  cache.scales.reshape(L, BH, 4, C),
+                  cache.lengths.reshape(L, BH))
+        (x, kc_all, vc_all, sc_all, lens_all), _ = lax.scan(
+            layer_fn_q4, carry0,
+            (params["layers"], jnp.arange(L, dtype=jnp.int32)))
+        x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
+        logits = (x[:, 0] @ params["lm_head"]).astype(jnp.float32)  # [B, V]
+        new_cache = QuantKVCacheTPU4(
+            k_codes=kc_all.reshape(L, B, cache_heads, C2, D),
+            v_codes=vc_all.reshape(L, B, cache_heads, C2, D),
             scales=sc_all.reshape(L, B, cache_heads, 4, C),
             lengths=lens_all.reshape(L, B, cache_heads),
             positions=cache.positions + 1)

@@ -349,3 +349,284 @@ def quant_decode_attention_append(
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
+
+
+# ---------------------------------------------------------------------------
+# INT4 variant: two tokens per byte, block-packed along the token axis
+# ---------------------------------------------------------------------------
+#
+# Channel-axis nibble packing (the XLA path's layout) needs a [*, D/2] ->
+# [*, D] unpack — a reshape across the 128-lane dim Mosaic forbids.  Instead
+# byte row t of a [C2, D] plane (C2 = C//2) holds token t (low nibble) and
+# token C2+t (high nibble).  Unpacking is elementwise bit-ops; each streamed
+# chunk of BLK byte rows yields TWO token blocks whose per-token scales are
+# both static lane slices of the same wide [4, C] plane (at sc0 and C2+sc0).
+# Per byte streamed this does 2x the dots of the int8 kernel — i.e. the same
+# MACs per TOKEN — while halving the HBM traffic.  Decode append is a nibble
+# RMW on one [CODE_TILE, D] window (row L % C2, nibble L // C2).
+
+
+def _quant4_decode_kernel(C: int, BLK: int, NC: int, G: int, D: int, H: int,
+                          lens_ref,              # scalar prefetch [H]
+                          lidx_ref,              # scalar prefetch [1]
+                          q_ref,                 # VMEM [1, G, D]
+                          knew_ref, vnew_ref,    # VMEM [1, 1, D] (bf16/f32)
+                          kc_hbm, vc_hbm,        # HBM [Lyr, H, C2, D] int8
+                          sc_hbm,                # HBM [Lyr, H, 4, C] bf16
+                          out_ref,               # VMEM [1, G, D]
+                          kco, vco, sco,         # aliased outputs
+                          kc_s, vc_s,            # VMEM [N_SLOTS, BLK, D] int8
+                          sc_s,                  # VMEM [2, 4, C] bf16
+                          kctile, vctile,        # VMEM [CODE_TILE, D] int8
+                          stile,                 # VMEM [4, TOK_BLK] bf16
+                          chunk_sems,            # DMA sems [N_SLOTS, 2]
+                          plane_sems,            # DMA sems [2]
+                          app_sems):             # DMA sems [3]
+    C2 = C // 2
+    h = pl.program_id(0)
+    li = lidx_ref[0]
+    L = jnp.minimum(lens_ref[h], C - 1)
+
+    def chunk_start_row(cc: int) -> int:
+        # Last chunk re-reads the tail byte-row window (mask dedups).
+        return min(cc * BLK, C2 - BLK)
+
+    def chunk_copies(gi):
+        hh = gi // NC
+        cc = gi % NC
+        sc = jnp.minimum(cc * (BLK // CODE_TILE),
+                         (C2 - BLK) // CODE_TILE) * CODE_TILE
+        slot = gi % N_SLOTS
+        ck = pltpu.make_async_copy(
+            kc_hbm.at[li, hh, pl.ds(sc, BLK), :], kc_s.at[slot],
+            chunk_sems.at[slot, 0])
+        cv = pltpu.make_async_copy(
+            vc_hbm.at[li, hh, pl.ds(sc, BLK), :], vc_s.at[slot],
+            chunk_sems.at[slot, 1])
+        return ck, cv
+
+    def plane_copy(hh):
+        return pltpu.make_async_copy(
+            sc_hbm.at[li, hh], sc_s.at[hh % 2], plane_sems.at[hh % 2])
+
+    def start_chunk(gi):
+        ck, cv = chunk_copies(gi)
+        ck.start()
+        cv.start()
+
+        @pl.when(gi % NC == 0)
+        def _():
+            plane_copy(gi // NC).start()
+
+    gi0 = h * NC
+    total = H * NC
+
+    @pl.when(h == 0)
+    def _():
+        start_chunk(0)
+        start_chunk(1)
+
+    # ---- in-place append: 4-bit quantize the new token in-register ----
+    def quantize4(x):  # [1, D] f32 -> codes i32 in [0,15], scale, zero
+        mn = jnp.min(x, axis=-1, keepdims=True)
+        mx = jnp.max(x, axis=-1, keepdims=True)
+        scale = jnp.maximum(mx - mn, 1e-8) / 15.0
+        codes = jnp.clip(jnp.round((x - mn) / scale), 0, 15)
+        return codes.astype(jnp.int32), scale, mn
+
+    kn = knew_ref[0].astype(jnp.float32)  # [1, D]
+    vn = vnew_ref[0].astype(jnp.float32)
+    kcodes, ks_new, kz_new = quantize4(kn)
+    vcodes, vs_new, vz_new = quantize4(vn)
+
+    hi_sel = L >= C2            # which nibble the new token lands in
+    row = L - jnp.where(hi_sel, C2, 0)  # target byte row (== L % C2)
+    Lt_c = (row // CODE_TILE) * CODE_TILE
+    Lt_s = (L // TOK_BLK) * TOK_BLK     # scale-plane lane window (full C)
+
+    rmw_reads = [
+        pltpu.make_async_copy(kco.at[li, h, pl.ds(Lt_c, CODE_TILE), :],
+                              kctile, app_sems.at[0]),
+        pltpu.make_async_copy(vco.at[li, h, pl.ds(Lt_c, CODE_TILE), :],
+                              vctile, app_sems.at[1]),
+        pltpu.make_async_copy(sco.at[li, h, :, pl.ds(Lt_s, TOK_BLK)],
+                              stile, app_sems.at[2]),
+    ]
+    for cp in rmw_reads:
+        cp.start()
+    for cp in rmw_reads:
+        cp.wait()
+
+    crow = jax.lax.broadcasted_iota(jnp.int32, (CODE_TILE, D), 0)
+    sel = crow == (row - Lt_c)
+
+    def nibble_rmw(tile, codes):
+        told = (tile.astype(jnp.int32) + 128) & 0xFF          # 0..255
+        keep = jnp.where(hi_sel, told & 0x0F, told & 0xF0)
+        put = jnp.where(hi_sel, codes << 4, codes)            # [1, D] bcast
+        return (jnp.where(sel, keep | put, told) - 128).astype(jnp.int8)
+
+    kctile[:] = nibble_rmw(kctile[:], kcodes)
+    vctile[:] = nibble_rmw(vctile[:], vcodes)
+
+    srow = jax.lax.broadcasted_iota(jnp.int32, (N_PLANES, TOK_BLK), 0)
+    slane = jax.lax.broadcasted_iota(jnp.int32, (N_PLANES, TOK_BLK), 1)
+    vals = stile[:]
+    for i, val in enumerate((ks_new, kz_new, vs_new, vz_new)):
+        vals = jnp.where((srow == i) & (slane == L - Lt_s),
+                         val.astype(stile.dtype), vals)
+    stile[:] = vals
+
+    rmw_writes = [
+        pltpu.make_async_copy(kctile, kco.at[li, h, pl.ds(Lt_c, CODE_TILE), :],
+                              app_sems.at[0]),
+        pltpu.make_async_copy(vctile, vco.at[li, h, pl.ds(Lt_c, CODE_TILE), :],
+                              app_sems.at[1]),
+        pltpu.make_async_copy(stile, sco.at[li, h, :, pl.ds(Lt_s, TOK_BLK)],
+                              app_sems.at[2]),
+    ]
+    for cp in rmw_writes:
+        cp.start()
+
+    # 1/sqrt(D) folded into q once (scales code dots, zero-point correction,
+    # and the new-token fold-in).
+    q = q_ref[0].astype(jnp.float32) * (D ** -0.5)  # [G, D]
+    qsum = jnp.sum(q, axis=-1, keepdims=True)       # [G, 1]
+
+    plane_copy(h).wait()
+    planes = sc_s[h % 2].astype(jnp.float32)  # [4, C] f32
+
+    m = jnp.full((G, 1), NEG_INF, jnp.float32)
+    l = jnp.zeros((G, 1), jnp.float32)
+    acc = jnp.zeros((G, D), jnp.float32)
+
+    for c in range(NC):  # Python loop: chunk offsets are static
+        gi = gi0 + c
+        ck, cv = chunk_copies(gi)
+        ck.wait()
+        cv.wait()
+
+        @pl.when(gi + 2 < total)
+        def _(gi=gi):
+            start_chunk(gi + 2)
+
+        slot = gi % N_SLOTS
+        sc0 = chunk_start_row(c)
+        kraw = (kc_s[slot].astype(jnp.int32) + 128) & 0xFF    # [BLK, D]
+        vraw = (vc_s[slot].astype(jnp.int32) + 128) & 0xFF
+
+        # Two token blocks per chunk: low nibbles = tokens [sc0, sc0+BLK),
+        # high nibbles = tokens [C2+sc0, C2+sc0+BLK).
+        for shift, base in ((0, sc0), (4, C2 + sc0)):
+            cb = ((kraw >> shift) & 0xF).astype(jnp.float32)
+            qc = jax.lax.dot_general(q, cb, (((1,), (1,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+            ks_w = planes[0:1, base:base + BLK]   # static lane slices
+            kz_w = planes[1:2, base:base + BLK]
+            s = qc * ks_w + qsum * kz_w           # [G, BLK]
+            ids = base + jax.lax.broadcasted_iota(jnp.int32, (G, BLK), 1)
+            lo_bound = (C2 if shift else 0) + c * BLK  # tail-re-read dedup
+            s = jnp.where((ids >= lo_bound) & (ids < L), s, NEG_INF)
+
+            m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+            p = jnp.exp(s - m_new)
+            alpha = jnp.exp(m - m_new)
+            l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+
+            cvb = ((vraw >> shift) & 0xF).astype(jnp.float32)
+            pw = p * planes[2:3, base:base + BLK]
+            pv = jax.lax.dot_general(pw, cvb, (((1,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+            pz = jnp.sum(p * planes[3:4, base:base + BLK], axis=-1,
+                         keepdims=True)
+            acc = acc * alpha + pv + pz
+            m = m_new
+
+    # Fold in the just-appended token exactly (fp values still in registers).
+    s_new = jax.lax.dot_general(q, kn, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+    m_f = jnp.maximum(m, s_new)
+    alpha = jnp.exp(m - m_f)
+    p_new = jnp.exp(s_new - m_f)
+    l_f = l * alpha + p_new
+    acc_f = acc * alpha + p_new * vn
+
+    out_ref[0] = (acc_f / l_f).astype(out_ref.dtype)
+
+    for cp in rmw_writes:
+        cp.wait()
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def quant4_decode_attention_append_stacked(
+    q: jnp.ndarray,         # [H, G, D]
+    k_codes: jnp.ndarray,   # [Lyr, H, C//2, D] int8 (token-block nibbles)
+    v_codes: jnp.ndarray,   # [Lyr, H, C//2, D] int8
+    scales: jnp.ndarray,    # [Lyr, H, 4, C] bf16 (token-on-lanes planes)
+    lengths: jnp.ndarray,   # [H] int32 (this layer)
+    layer: jnp.ndarray,     # [] or [1] int32
+    k_new: jnp.ndarray,     # [H, D] fp
+    v_new: jnp.ndarray,
+    interpret: bool = False,
+):
+    """Returns (out [H,G,D], k_codes', v_codes', scales', lengths'); layer
+    ``layer`` of the stacks updated in place."""
+    Lyr, H, C2, D = k_codes.shape
+    C = 2 * C2
+    G = q.shape[1]
+    assert D % 128 == 0, "int4 decode kernel requires lane-aligned head_dim"
+    assert C % 256 == 0, f"capacity {C} must be a multiple of 256"
+    assert scales.shape == (Lyr, H, N_PLANES, C), scales.shape
+
+    NC = max(2, -(-C2 // MAX_BLK))
+    BLK = min(_round_up(-(-C2 // NC), TOK_BLK), C2)
+    kernel = functools.partial(_quant4_decode_kernel, C, BLK, NC, G, D, H)
+    lidx = jnp.asarray(layer, jnp.int32).reshape(1)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(H,),
+        in_specs=[
+            pl.BlockSpec((1, G, D), lambda h, lens, li: (h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, D), lambda h, lens, li: (h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, D), lambda h, lens, li: (h, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ] + [pl.BlockSpec(memory_space=pltpu.HBM)] * 3,
+        out_specs=[
+            pl.BlockSpec((1, G, D), lambda h, lens, li: (h, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ] + [pl.BlockSpec(memory_space=pltpu.HBM)] * 3,
+        scratch_shapes=[
+            pltpu.VMEM((N_SLOTS, BLK, D), jnp.int8),
+            pltpu.VMEM((N_SLOTS, BLK, D), jnp.int8),
+            pltpu.VMEM((2, N_PLANES, C), scales.dtype),
+            pltpu.VMEM((CODE_TILE, D), jnp.int8),
+            pltpu.VMEM((CODE_TILE, D), jnp.int8),
+            pltpu.VMEM((N_PLANES, TOK_BLK), scales.dtype),
+            pltpu.SemaphoreType.DMA((N_SLOTS, 2)),
+            pltpu.SemaphoreType.DMA(2),
+            pltpu.SemaphoreType.DMA(3),
+        ],
+    )
+
+    outs = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((H, G, D), q.dtype),
+            jax.ShapeDtypeStruct(k_codes.shape, jnp.int8),
+            jax.ShapeDtypeStruct(v_codes.shape, jnp.int8),
+            jax.ShapeDtypeStruct(scales.shape, scales.dtype),
+        ],
+        # operand idx (incl. scalar prefetch 0=lens, 1=layer): q=2 kn=3 vn=4
+        # kc=5 vc=6 scales=7
+        input_output_aliases={5: 1, 6: 2, 7: 3},
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(lengths, lidx, q, k_new[:, None, :], v_new[:, None, :],
+      k_codes, v_codes, scales)
+
+    out, kc, vc, sc = outs
+    return out, kc, vc, sc, jnp.minimum(lengths + 1, C)

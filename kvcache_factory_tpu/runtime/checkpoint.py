@@ -19,12 +19,14 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..cache.kv_cache import EvictingKVCache, KVCache
-from ..cache.quant_cache import QuantizedKVCache, QuantKVCacheTPU
+from ..cache.quant_cache import (QuantizedKVCache, QuantKVCacheTPU,
+                                 QuantKVCacheTPU4)
 
 _CACHE_TYPES = {
     "KVCache": KVCache,
     "QuantizedKVCache": QuantizedKVCache,
     "QuantKVCacheTPU": QuantKVCacheTPU,
+    "QuantKVCacheTPU4": QuantKVCacheTPU4,
     "EvictingKVCache": EvictingKVCache,
 }
 

@@ -52,8 +52,9 @@ class InferenceEngine:
         comp = self.cfg.compression
         L = self.cfg.model.num_hidden_layers
         cache_capacity = comp.layer_capacity(L, S) + max_new_tokens + 1
-        if self.cfg.quant is not None:
-            cache_capacity = -(-cache_capacity // 128) * 128  # pallas layout
+        if self.cfg.quant is not None:  # pallas quant cache layouts
+            align = 256 if self.cfg.quant.nbits == 4 else 128
+            cache_capacity = -(-cache_capacity // align) * align
         res = generate(self.params, self.cfg.model, comp, gen_cfg,
                        jnp.asarray(toks), jnp.asarray([n], jnp.int32),
                        cache_capacity, rng=self.rng,

@@ -149,3 +149,75 @@ def test_quant_decode_kernel_matches_scaled_reference(G):
                                    atol=span / 255.0 + span * 2.0 ** -8)
     np.testing.assert_array_equal(np.asarray(lens_o),
                                   np.minimum(lens + 1, C))
+
+
+@pytest.mark.parametrize("G,C", [(1, 512), (2, 512), (1, 256)])
+def test_quant4_decode_kernel_matches_scaled_reference(G, C):
+    """int4 kernel (token-block nibble packing) vs fp32 oracle dequantized
+    with the same bf16-stored scales; appended nibble roundtrips."""
+    from kvcache_factory_tpu.cache.quant_cache import (
+        from_packed_prefill_tpu4, quantize_per_token4, unpack_tokens_int4)
+    from kvcache_factory_tpu.ops.kernels.decode_attn_quant import (
+        quant4_decode_attention_append_stacked)
+
+    H = 4
+    rng = np.random.default_rng(11)
+    q = rng.normal(size=(H, G, D)).astype(np.float32)
+    k_fp = rng.normal(size=(H, C, D)).astype(np.float32)
+    v_fp = rng.normal(size=(H, C, D)).astype(np.float32)
+    k_new = rng.normal(size=(H, D)).astype(np.float32)
+    v_new = rng.normal(size=(H, D)).astype(np.float32)
+    # exercise both nibble halves: lo (L < C/2) and hi (L >= C/2) appends
+    lens = np.asarray([0, 5, C // 2 + 3, C - 2], np.int32)
+
+    cache = from_packed_prefill_tpu4(
+        jnp.asarray(k_fp)[None, None], jnp.asarray(v_fp)[None, None],
+        jnp.asarray(lens)[None, None], jnp.zeros((1,), jnp.int32))
+    kc, vc, scales = cache.k_codes[0, 0], cache.v_codes[0, 0], cache.scales[0, 0]
+
+    out, kc_o, vc_o, sc_o, lens_o = quant4_decode_attention_append_stacked(
+        jnp.asarray(q, jnp.float32), kc[None], vc[None], scales[None],
+        jnp.asarray(lens), jnp.zeros((1,), jnp.int32),
+        jnp.asarray(k_new), jnp.asarray(v_new), interpret=True)
+    out = np.asarray(out, np.float32)
+
+    def deq(codes_packed, sc, srow, zrow):
+        codes = np.asarray(unpack_tokens_int4(codes_packed), np.float32)
+        s = np.asarray(sc, np.float32)[:, srow, :, None]  # [H, C, 1]
+        z = np.asarray(sc, np.float32)[:, zrow, :, None]
+        return codes * s + z
+
+    k_deq = deq(kc, scales, 0, 1)
+    v_deq = deq(vc, scales, 2, 3)
+    exp = ref_decode_attention(q, k_deq, v_deq, lens, k_new, v_new)
+    np.testing.assert_allclose(out, exp, atol=5e-2, rtol=5e-2)
+
+    # appended token roundtrips through int4 with per-token error bounds;
+    # neighbors' nibbles in the shared byte rows are untouched
+    kc_unp = np.asarray(unpack_tokens_int4(kc))
+    kc_o_unp = np.asarray(unpack_tokens_int4(kc_o[0]))
+    for h in range(H):
+        L = int(lens[h])
+        got = deq(kc_o[0], sc_o[0], 0, 1)[h, L]
+        span = k_new[h].max() - k_new[h].min()
+        np.testing.assert_allclose(got, k_new[h],
+                                   atol=span / 15.0 + span * 2.0 ** -8)
+        untouched = np.delete(np.arange(C), L)
+        np.testing.assert_array_equal(kc_o_unp[h, untouched],
+                                      kc_unp[h, untouched])
+    np.testing.assert_array_equal(np.asarray(lens_o),
+                                  np.minimum(lens + 1, C))
+
+
+def test_quant4_pack_roundtrip():
+    from kvcache_factory_tpu.cache.quant_cache import (
+        pack_tokens_int4, quantize_per_token4, unpack_tokens_int4)
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(2, 256, D)).astype(np.float32))
+    codes, scale, zero = quantize_per_token4(x)
+    rt = unpack_tokens_int4(pack_tokens_int4(codes))
+    np.testing.assert_array_equal(np.asarray(rt), np.asarray(codes))
+    deq = np.asarray(rt, np.float32) * np.asarray(scale)[..., None] \
+        + np.asarray(zero)[..., None]
+    span = (np.asarray(x).max(-1) - np.asarray(x).min(-1))[..., None]
+    assert np.abs(deq - np.asarray(x)).max() <= (span / 15.0 * 0.5 + 1e-3).max()

@@ -20,8 +20,11 @@ cfg = ModelConfig(model_type="llama", vocab_size=32000, hidden_size=2048,
 params = init_params(cfg, jax.random.PRNGKey(0))
 comp = CompressionConfig(method="snapkv", max_capacity_prompt=512,
                          window_size=8, kernel_size=7, pooling="maxpool")
-quant = QuantConfig(nbits=8, q_group_size=128)
-S = 1024; CC = 640  # 128-aligned so the TPU quant layout engages
+NBITS = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+# q_group_size == head_dim so the XLA path's group-wise quantization matches
+# the TPU layout's per-token granularity.
+quant = QuantConfig(nbits=NBITS, q_group_size=128)
+S = 1024; CC = 640 if NBITS == 8 else 768  # aligned so the TPU layout engages
 toks = jnp.asarray(np.random.default_rng(0).integers(0, 32000, (1, S)), jnp.int32)
 tl = jnp.full((1,), S, jnp.int32)
 
@@ -61,7 +64,8 @@ def run(enable_pallas: bool, seq=None):
 kind_x, lg_x, seq = run(False)
 kind_p, lg_p, _ = run(True, seq)
 print(f"pallas cache: {kind_p}; xla cache: {kind_x}")
-assert kind_p == "QuantKVCacheTPU", f"TPU quant layout not engaged: {kind_p}"
+want = "QuantKVCacheTPU" if NBITS == 8 else "QuantKVCacheTPU4"
+assert kind_p == want, f"TPU quant layout not engaged: {kind_p}"
 
 err = np.abs(lg_p - lg_x).max() / np.abs(lg_x).max()
 agree = (lg_p.argmax(-1) == lg_x.argmax(-1)).mean()
@@ -70,6 +74,8 @@ print(f"teacher-forced rel logit err {err:.2e}; "
 # The two paths quantize with the same per-token grouping (q_group_size ==
 # head_dim) but store scales in different dtypes and fold dequant
 # differently, so int8-level tolerance applies.
-assert err < 8e-2, f"quant pallas vs xla rel err too large: {err:.3e}"
-assert agree >= 0.9, f"quant paths disagree on too many tokens: {agree}"
-print("TPU quant A/B OK")
+tol = 8e-2 if NBITS == 8 else 2e-1  # int4: 16 levels, larger spread
+assert err < tol, f"quant pallas vs xla rel err too large: {err:.3e}"
+agree_tol = 0.9 if NBITS == 8 else 0.8
+assert agree >= agree_tol, f"quant paths disagree on too many tokens: {agree}"
+print(f"TPU quant A/B OK (nbits={NBITS})")
