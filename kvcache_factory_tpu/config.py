@@ -33,7 +33,7 @@ class ModelConfig:
     but as a frozen, hashable object usable as a jit static argument.
     """
 
-    model_type: str = "llama"  # "llama" | "mistral"
+    model_type: str = "llama"  # "llama" | "mistral" | "mixtral"
     vocab_size: int = 32000
     hidden_size: int = 4096
     intermediate_size: int = 11008
@@ -51,11 +51,19 @@ class ModelConfig:
     tie_word_embeddings: bool = False
     attention_bias: bool = False
     mlp_bias: bool = False
+    # Mixtral-style sparse MoE (the reference lists Mixtral as an unchecked
+    # TODO, README.md:27 — a capability extension here): 0 = dense FFN.
+    num_local_experts: int = 0
+    num_experts_per_tok: int = 2
     dtype: str = "bfloat16"
 
     @property
     def num_key_value_groups(self) -> int:
         return self.num_attention_heads // self.num_key_value_heads
+
+    @property
+    def is_moe(self) -> bool:
+        return self.num_local_experts > 0
 
     @staticmethod
     def from_hf_config(cfg: Any) -> "ModelConfig":
@@ -80,6 +88,8 @@ class ModelConfig:
             tie_word_embeddings=cfg.get("tie_word_embeddings", False),
             attention_bias=cfg.get("attention_bias", False),
             mlp_bias=cfg.get("mlp_bias", False),
+            num_local_experts=cfg.get("num_local_experts", 0) or 0,
+            num_experts_per_tok=cfg.get("num_experts_per_tok", 2),
         )
 
     @staticmethod
@@ -273,11 +283,18 @@ class GenerationConfig:
 
 @dataclass(frozen=True)
 class ShardingConfig:
-    """Device-mesh layout. ``dp`` shards batch, ``tp`` shards heads/ffn."""
+    """Device-mesh layout. ``dp`` shards batch, ``tp`` shards heads/ffn,
+    ``ep`` shards the MoE expert axis (expert parallel; only meaningful for
+    MoE models — each ep shard computes its local experts on all tokens and
+    XLA all-reduces the weighted combine)."""
 
     dp: int = 1
     tp: int = 1
-    axis_names: Tuple[str, str] = ("dp", "tp")
+    ep: int = 1
+
+    @property
+    def axis_names(self) -> Tuple[str, ...]:
+        return ("dp", "ep", "tp") if self.ep > 1 else ("dp", "tp")
 
 
 @dataclass(frozen=True)

@@ -138,6 +138,60 @@ def swiglu_fused(x: jnp.ndarray, gate_up_w: jnp.ndarray,
     return (g * gu[..., ffn:]) @ down_w
 
 
+def moe_router(x: jnp.ndarray, router_w: jnp.ndarray, top_k: int):
+    """Mixtral routing (HF modeling_mixtral.MixtralSparseMoeBlock): fp32
+    softmax over expert logits, top-k, renormalize the kept weights.
+
+    Returns (combine [B, T, E] fp32 — zeros off the top-k, topi [B, T, k],
+    topv [B, T, k] fp32 renormalized)."""
+    logits = x.astype(jnp.float32) @ router_w.astype(jnp.float32)
+    probs = jax.nn.softmax(logits, axis=-1)
+    topv, topi = lax.top_k(probs, top_k)
+    topv = topv / jnp.sum(topv, axis=-1, keepdims=True)
+    combine = jnp.sum(jax.nn.one_hot(topi, probs.shape[-1], dtype=topv.dtype)
+                      * topv[..., None], axis=-2)
+    return combine, topi, topv
+
+
+def moe_ffn(x: jnp.ndarray, lp: dict, cfg: ModelConfig) -> jnp.ndarray:
+    """Mixtral sparse-MoE FFN, TPU-first in both regimes.
+
+    Prefill / large batch: dense all-expert compute with a weighted combine —
+    no token-dropping dispatch tensors, static shapes, and under an ``ep``
+    mesh axis each shard runs its local experts on all tokens with one
+    all-reduce for the combine (per-device cost equals the dense model when
+    ep == num_local_experts).
+
+    Decode (T == 1, small B·k): gathers only the selected experts' weight
+    matrices, so HBM streams k/E of the MoE weights per step — the decode
+    step stays bandwidth-optimal.
+    """
+    E, top_k = cfg.num_local_experts, cfg.num_experts_per_tok
+    gw, dw = lp["gate_up_proj"], lp["down_proj"]  # [E, h, 2f], [E, f, h]
+    F = gw.shape[-1] // 2
+    combine, topi, topv = moe_router(x, lp["router"], top_k)
+    B, T, _ = x.shape
+    if T == 1 and B * top_k <= E // 2:
+        gw_sel = gw[topi[:, 0]]  # [B, k, h, 2f] gather of selected experts
+        dw_sel = dw[topi[:, 0]]  # [B, k, f, h]
+        xb = x[:, 0]
+        gu = jnp.einsum("bh,bkhf->bkf", xb, gw_sel)
+        g = jax.nn.silu(gu[..., :F]) * gu[..., F:]
+        eo = jnp.einsum("bkf,bkfh->bkh", g, dw_sel)
+        return jnp.einsum("bkh,bk->bh", eo,
+                          topv[:, 0].astype(x.dtype))[:, None]
+    gu = jnp.einsum("bth,ehf->betf", x, gw)
+    g = jax.nn.silu(gu[..., :F]) * gu[..., F:]
+    eo = jnp.einsum("betf,efh->beth", g, dw)
+    return jnp.einsum("beth,bte->bth", eo, combine.astype(x.dtype))
+
+
+def ffn_block(h2: jnp.ndarray, lp: dict, cfg: ModelConfig) -> jnp.ndarray:
+    if cfg.is_moe:
+        return moe_ffn(h2, lp, cfg)
+    return swiglu_fused(h2, lp["gate_up_proj"], lp["down_proj"])
+
+
 # ---------------------------------------------------------------------------
 # Forward passes
 # ---------------------------------------------------------------------------
@@ -234,7 +288,7 @@ def prefill(
         h = _merge_heads(attn) @ lp["o_proj"]
         x = x + h
         h2 = rms_norm(x, lp["post_norm"], cfg.rms_norm_eps)
-        x = x + swiglu_fused(h2, lp["gate_up_proj"], lp["down_proj"])
+        x = x + ffn_block(h2, lp, cfg)
 
         # --- compression hook: what gets WRITTEN to the cache ---
         ctx = LayerContext(layer_idx, hc if comp.method == "headkv" else None,
@@ -375,7 +429,7 @@ def decode_step(
         h = _merge_heads(attn) @ lp["o_proj"]
         x = x + h
         h2 = rms_norm(x, lp["post_norm"], cfg.rms_norm_eps)
-        return x + swiglu_fused(h2, lp["gate_up_proj"], lp["down_proj"])
+        return x + ffn_block(h2, lp, cfg)
 
     if use_pallas:
         # Zero-copy layer loop: the FULL stacked caches ride the scan carry

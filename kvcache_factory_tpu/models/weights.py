@@ -57,13 +57,24 @@ def init_params(cfg: ModelConfig, key: jax.Array, dtype=None) -> Dict[str, Any]:
     def mat(k, shape):
         return (jax.random.normal(k, shape, jnp.float32) / np.sqrt(shape[0])).astype(dtype)
 
+    if cfg.is_moe:  # expert-stacked FFN + router (Mixtral layout)
+        E = cfg.num_local_experts
+        ffn_w = {
+            "router": _stacked(ks[2], L, (h, E), dtype),
+            "gate_up_proj": _stacked(ks[5], L, (E, h, 2 * ffn), dtype),
+            "down_proj": _stacked(ks[7], L, (E, ffn, h), dtype),
+        }
+    else:
+        ffn_w = {
+            "gate_up_proj": _stacked(ks[5], L, (h, 2 * ffn), dtype),
+            "down_proj": _stacked(ks[7], L, (ffn, h), dtype),
+        }
     params = {
         "embed": mat(ks[0], (V, h)),
         "layers": {
             "qkv_proj": _stacked(ks[1], L, (h, qd + 2 * kvd), dtype),
             "o_proj": _stacked(ks[4], L, (qd, h), dtype),
-            "gate_up_proj": _stacked(ks[5], L, (h, 2 * ffn), dtype),
-            "down_proj": _stacked(ks[7], L, (ffn, h), dtype),
+            **ffn_w,
             "input_norm": jnp.ones((L, h), dtype),
             "post_norm": jnp.ones((L, h), dtype),
         },
@@ -74,8 +85,10 @@ def init_params(cfg: ModelConfig, key: jax.Array, dtype=None) -> Dict[str, Any]:
 
 
 def _stacked(key, L, shape, dtype):
+    # fan_in is the second-to-last dim (matrices are input-major; expert-
+    # stacked MoE weights carry a leading expert dim).
     return (jax.random.normal(key, (L,) + shape, jnp.float32)
-            / np.sqrt(shape[0])).astype(dtype)
+            / np.sqrt(shape[-2])).astype(dtype)
 
 
 def params_from_state_dict(cfg: ModelConfig, state: Dict[str, Any],
@@ -90,8 +103,11 @@ def params_from_state_dict(cfg: ModelConfig, state: Dict[str, Any],
         return np.asarray(arr)
 
     L = cfg.num_hidden_layers
+    layer_map = dict(_LAYER_MAP)
+    if cfg.is_moe:
+        del layer_map["gate_up_proj"], layer_map["down_proj"]
     layers = {}
-    for ours, theirs in _LAYER_MAP.items():
+    for ours, theirs in layer_map.items():
         mats = []
         for l in range(L):
             if isinstance(theirs, tuple):  # fused: concat along output dim
@@ -103,6 +119,24 @@ def params_from_state_dict(cfg: ModelConfig, state: Dict[str, Any],
                     w = w.T  # HF [out, in] -> ours [in, out]
             mats.append(w)
         layers[ours] = jnp.asarray(np.stack(mats), dtype)
+
+    if cfg.is_moe:
+        # Mixtral block_sparse_moe: gate (router) [E, h]; per-expert w1
+        # (gate), w3 (up), w2 (down) — stacked [L, E, ...] input-major.
+        E = cfg.num_local_experts
+        routers, gus, downs = [], [], []
+        for l in range(L):
+            pre = f"model.layers.{l}.block_sparse_moe"
+            routers.append(get(f"{pre}.gate.weight").T)  # [h, E]
+            gus.append(np.stack([
+                np.concatenate([get(f"{pre}.experts.{e}.w1.weight").T,
+                                get(f"{pre}.experts.{e}.w3.weight").T], axis=1)
+                for e in range(E)]))                     # [E, h, 2f]
+            downs.append(np.stack([
+                get(f"{pre}.experts.{e}.w2.weight").T for e in range(E)]))
+        layers["router"] = jnp.asarray(np.stack(routers), dtype)
+        layers["gate_up_proj"] = jnp.asarray(np.stack(gus), dtype)
+        layers["down_proj"] = jnp.asarray(np.stack(downs), dtype)
 
     embed = get("model.embed_tokens.weight")
     if cfg.tie_word_embeddings or "lm_head.weight" not in state:

@@ -29,22 +29,41 @@ from ..config import ModelConfig, ShardingConfig
 
 def make_mesh(cfg: ShardingConfig, devices=None) -> Mesh:
     devices = devices if devices is not None else jax.devices()
-    n = cfg.dp * cfg.tp
+    n = cfg.dp * cfg.ep * cfg.tp
     assert len(devices) >= n, f"need {n} devices, have {len(devices)}"
-    arr = mesh_utils.create_device_mesh((cfg.dp, cfg.tp), devices=devices[:n])
+    shape = (cfg.dp, cfg.ep, cfg.tp) if cfg.ep > 1 else (cfg.dp, cfg.tp)
+    arr = mesh_utils.create_device_mesh(shape, devices=devices[:n])
     return Mesh(arr, cfg.axis_names)
 
 
-def param_specs(model_cfg: ModelConfig) -> Dict[str, Any]:
+def param_specs(model_cfg: ModelConfig, ep: bool = False) -> Dict[str, Any]:
     """PartitionSpec tree matching models/weights.py layout (Megatron-style:
-    column-parallel qkv/gate/up, row-parallel o/down, replicated norms)."""
+    column-parallel qkv/gate/up, row-parallel o/down, replicated norms).
+
+    MoE models: expert-stacked FFN weights [L, E, ...] shard the expert axis
+    over ``ep`` (when the mesh has one) and keep the Megatron tp split inside
+    each expert; the router is replicated.  Each ep shard computes its local
+    experts on all tokens and the weighted combine all-reduces over ep — no
+    token-dropping dispatch, perfectly balanced compute (per device cost
+    equals the dense model when ep == num_local_experts)."""
+    if model_cfg.is_moe:
+        e_axis = "ep" if ep else None
+        ffn = {
+            "router": P(None, None, None),
+            "gate_up_proj": P(None, e_axis, None, "tp"),
+            "down_proj": P(None, e_axis, "tp", None),
+        }
+    else:
+        ffn = {
+            "gate_up_proj": P(None, None, "tp"),
+            "down_proj": P(None, "tp", None),
+        }
     return {
         "embed": P(None, None),
         "layers": {
             "qkv_proj": P(None, None, "tp"),
             "o_proj": P(None, "tp", None),
-            "gate_up_proj": P(None, None, "tp"),
-            "down_proj": P(None, "tp", None),
+            **ffn,
             "input_norm": P(None, None),
             "post_norm": P(None, None),
         },
@@ -66,7 +85,7 @@ def cache_specs() -> Any:
 
 def shard_params(params: Dict[str, Any], mesh: Mesh,
                  model_cfg: ModelConfig) -> Dict[str, Any]:
-    specs = param_specs(model_cfg)
+    specs = param_specs(model_cfg, ep="ep" in mesh.axis_names)
 
     # PartitionSpec subclasses tuple (a pytree node), so walk by key path
     # instead of zipping trees.

@@ -226,3 +226,92 @@ def test_llama3_rope_scaling_matches_hf():
                      return_all_logits=True)
     np.testing.assert_allclose(np.asarray(res.all_logits), hf_logits,
                                rtol=3e-4, atol=3e-4)
+
+
+# ---------------------------------------------------------------------------
+# Mixtral (sparse MoE) — capability extension; the reference lists Mixtral as
+# an unchecked TODO (README.md:27)
+# ---------------------------------------------------------------------------
+
+
+def tiny_hf_mixtral(seed=10):
+    from transformers import MixtralConfig, MixtralForCausalLM
+    torch.manual_seed(seed)
+    hf_cfg = MixtralConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=96,
+        num_hidden_layers=3, num_attention_heads=4, num_key_value_heads=2,
+        num_local_experts=4, num_experts_per_tok=2,
+        max_position_embeddings=512, rope_theta=10000.0, rms_norm_eps=1e-5,
+        sliding_window=None, tie_word_embeddings=False,
+    )
+    model = MixtralForCausalLM(hf_cfg)
+    model.eval()
+    cfg = ModelConfig.from_hf_config(hf_cfg)
+    cfg = type(cfg)(**{**cfg.__dict__, "dtype": "float32"})
+    assert cfg.is_moe and cfg.num_local_experts == 4
+    params = params_from_state_dict(cfg, model.state_dict(), jnp.float32)
+    return model, cfg, params
+
+
+@pytest.fixture(scope="module")
+def mixtral_setup():
+    return tiny_hf_mixtral()
+
+
+def test_mixtral_prefill_logits_match_hf(mixtral_setup):
+    model, cfg, params = mixtral_setup
+    B, S = 2, 40
+    rng = np.random.default_rng(20)
+    toks = rng.integers(0, cfg.vocab_size, size=(B, S))
+    with torch.no_grad():
+        hf_logits = model(torch.tensor(toks)).logits.numpy()
+    res = jl.prefill(params, cfg, FULL, jnp.asarray(toks, jnp.int32),
+                     jnp.asarray([S, S], jnp.int32), cache_capacity=S,
+                     return_all_logits=True)
+    np.testing.assert_allclose(np.asarray(res.all_logits), hf_logits,
+                               rtol=3e-4, atol=3e-4)
+
+
+def test_mixtral_greedy_generation_matches_hf(mixtral_setup):
+    """Exercises the decode-time gathered-expert path (T=1, B*k <= E/2)."""
+    model, cfg, params = mixtral_setup
+    S, new = 24, 10
+    rng = np.random.default_rng(21)
+    toks = rng.integers(0, cfg.vocab_size, size=(1, S))
+    with torch.no_grad():
+        hf_out = model.generate(torch.tensor(toks), max_new_tokens=new,
+                                do_sample=False, num_beams=1,
+                                pad_token_id=0, eos_token_id=None)
+    hf_new = hf_out[0, S:].numpy()
+    gen_cfg = GenerationConfig(max_new_tokens=new, eos_token_ids=())
+    res = generate(params, cfg, FULL, gen_cfg, jnp.asarray(toks, jnp.int32),
+                   jnp.asarray([S], jnp.int32), cache_capacity=S + new)
+    np.testing.assert_array_equal(np.asarray(res.tokens)[0], hf_new)
+
+
+def test_mixtral_decode_gather_matches_dense(mixtral_setup):
+    """The decode gathered-expert fast path must equal the dense all-expert
+    combine bit-for-near (same math, different dispatch)."""
+    model, cfg, params = mixtral_setup
+    lp = jax.tree.map(lambda x: x[0], params["layers"])
+    rng = np.random.default_rng(22)
+    x1 = jnp.asarray(rng.normal(size=(1, 1, cfg.hidden_size)), jnp.float32)
+    gathered = jl.moe_ffn(x1, lp, cfg)                       # T=1 fast path
+    dense = jl.moe_ffn(jnp.tile(x1, (3, 2, 1)), lp, cfg)     # dense path
+    np.testing.assert_allclose(np.asarray(gathered)[0, 0],
+                               np.asarray(dense)[0, 0], rtol=1e-5, atol=1e-5)
+
+
+def test_mixtral_snapkv_compression_generates(mixtral_setup):
+    """Compression policies apply unchanged to the MoE family."""
+    model, cfg, params = mixtral_setup
+    S, new, cap = 96, 6, 32
+    rng = np.random.default_rng(23)
+    toks = rng.integers(0, cfg.vocab_size, size=(1, S))
+    comp = CompressionConfig(method="snapkv", max_capacity_prompt=cap,
+                             window_size=8)
+    gen_cfg = GenerationConfig(max_new_tokens=new, eos_token_ids=())
+    res = generate(params, cfg, comp, gen_cfg, jnp.asarray(toks, jnp.int32),
+                   jnp.asarray([S], jnp.int32), cache_capacity=cap + new)
+    assert int(res.num_tokens[0]) == new
+    assert np.all(np.asarray(res.cache.lengths) == cap + new - 1)
