@@ -116,6 +116,7 @@ def _rope_scaling_tuple(rs):
 # Methods on the reference scoreboard (eval.py:99-110 / monkeypatch.py:19-88).
 KNOWN_METHODS = (
     "fullkv",
+    "minference",  # sparse prefill, full KV retained (monkeypatch.py:51)
     "snapkv",
     "pyramidkv",
     "h2o",
@@ -182,9 +183,13 @@ class CompressionConfig:
     group_reduce: str = "none"  # "none" | "mean" | "max" | "sum"
     head_capacity_bound_factor: float = 2.0
     # MInference-equivalent sparse prefill (reference pyramidkv/minference.py
-    # delegates to the external package): (sink_blocks, local_blocks, stride)
-    # a-shape block pattern applied inside the Pallas flash prefill kernel.
-    sparse_prefill: Optional[Tuple[int, int, int]] = None
+    # delegates to the external package), applied inside the Pallas flash
+    # prefill kernel: (sink_blocks, local_blocks, stride) or
+    # ("ashape", sinks, local, stride) — static a-shape pattern;
+    # ("vertical_slash", v_topk, s_topk, last_q) — MInference's flagship
+    # dynamic pattern, per-head block mask estimated from the last queries'
+    # attention (vertical columns + slash diagonals).
+    sparse_prefill: Optional[Tuple] = None
     # Decode-stage compression (unchecked TODO in the reference, README.md:31:
     # "Support KV cache compression at decoding stage"): when the cache is
     # full, H2O-style eviction replaces the lowest accumulated-attention
@@ -195,8 +200,8 @@ class CompressionConfig:
     def __post_init__(self):
         if self.method not in KNOWN_METHODS:
             raise ValueError(f"unknown method {self.method!r}; expected one of {KNOWN_METHODS}")
-        if self.method != "fullkv" and self.max_capacity_prompt - self.window_size <= 0 \
-                and self.method not in ("l2norm",):
+        if self.max_capacity_prompt - self.window_size <= 0 \
+                and self.method not in ("fullkv", "minference", "l2norm"):
             raise ValueError("max_capacity_prompt must exceed window_size")
         if self.pooling not in ("avgpool", "maxpool"):
             raise ValueError("pooling must be avgpool or maxpool")
@@ -216,7 +221,7 @@ class CompressionConfig:
         here by ``head_capacity_bound_factor``; L2Norm skip-layers retain the
         full prompt.
         """
-        if self.method == "fullkv":
+        if self.method in ("fullkv", "minference"):
             return prefill_len
         cap = self.max_capacity_prompt
         if prefill_len <= cap:

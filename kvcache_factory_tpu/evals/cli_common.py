@@ -47,8 +47,15 @@ def add_engine_args(ap: argparse.ArgumentParser) -> None:
 def compression_from_args(args) -> CompressionConfig:
     from .longbench import method_hyperparams
     hp = method_hyperparams(args.method, args.max_capacity_prompts)
+    sparse_prefill = None
+    if args.method.lower() == "minference":
+        # MInference's flagship vertical-slash pattern (block-granular);
+        # the reference loads per-model configs from the external package
+        # (pyramidkv/minference.py:9-12) — here one robust default.
+        sparse_prefill = ("vertical_slash", 1024, 128, 64)
     return CompressionConfig(
         method=args.method.lower(),
+        sparse_prefill=sparse_prefill,
         max_capacity_prompt=args.max_capacity_prompts,
         window_size=hp.get("window_size", 32),
         kernel_size=hp.get("kernel_size", 7),

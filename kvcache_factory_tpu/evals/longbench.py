@@ -102,7 +102,7 @@ def headkv_capacities(head_path: str, num_layers: int, num_heads: int,
 def method_hyperparams(method: str, max_capacity: int) -> dict:
     """Window/kernel/pooling policy table (reference :219-237)."""
     method = method.lower()
-    if method == "fullkv":
+    if method in ("fullkv", "minference"):
         return {}
     if method == "streamingllm":
         window = max_capacity - 4

@@ -253,7 +253,8 @@ def prefill(
     # score-reusing methods then skip their separate scoring matmul.
     use_flash = (jax.default_backend() in ("tpu", "axon") and D % 128 == 0
                  and B == 1 and cfg.sliding_window is None
-                 and comp.method != "fullkv")
+                 and (comp.method != "fullkv"
+                      or comp.sparse_prefill is not None))
     scores_reusable = comp.method in ("snapkv", "pyramidkv", "think",
                                       "adakv", "headkv")
 

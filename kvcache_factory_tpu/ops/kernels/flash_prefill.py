@@ -39,14 +39,16 @@ NEG_INF = float(jnp.finfo(jnp.float32).min)
 
 def _flash_kernel(S: int, QB: int, KB: int, D: int, G: int, W: int,
                   scale: float, sparse, sink_blocks: int, local_blocks: int,
-                  stride: int,
-                  tl_ref,               # scalar prefetch [1] true_len
-                  q_ref,                # VMEM [1, QB, D]
-                  k_hbm, v_hbm,         # HBM [Hkv, S, D]
-                  o_ref,                # VMEM [1, QB, D]
-                  scores_ref,           # VMEM [1, 1, S] f32 (resident)
-                  k_s, v_s,             # VMEM [2, KB, D]
-                  sems):                # DMA [2]
+                  stride: int, use_mask: bool,
+                  *refs):
+    if use_mask:
+        # scalar prefetch: tl [1], block mask [Hq, n_qb, n_kvb] int32
+        (tl_ref, mask_ref, q_ref, k_hbm, v_hbm, o_ref, scores_ref,
+         k_s, v_s, sems) = refs
+    else:
+        (tl_ref, q_ref, k_hbm, v_hbm, o_ref, scores_ref,
+         k_s, v_s, sems) = refs
+        mask_ref = None
     hq = pl.program_id(0)
     qb = pl.program_id(1)
     n_qb = pl.num_programs(1)
@@ -87,9 +89,13 @@ def _flash_kernel(S: int, QB: int, KB: int, D: int, G: int, W: int,
     diag_blk = kv_hi - 1
 
     def block_selected(blk):
-        """MInference-style a-shape pattern: attention sinks + local band +
-        strided global columns (minference integration equivalent,
-        pyramidkv/minference.py:49-59 delegates to the external package)."""
+        """MInference-equivalent sparse patterns (the reference delegates to
+        the external package, pyramidkv/minference.py:49-59): static a-shape
+        (attention sinks + local band + strided global columns) or a dynamic
+        per-(head, q-block) vertical-slash block mask estimated from the last
+        queries' attention (computed in XLA, prefetched to SMEM)."""
+        if use_mask:
+            return mask_ref[hq, qb, blk] != 0
         return ((blk < sink_blocks) | (blk > diag_blk - local_blocks)
                 | (blk % stride == 0))
 
@@ -172,6 +178,78 @@ def _flash_kernel(S: int, QB: int, KB: int, D: int, G: int, W: int,
         lax.fori_loop(0, kv_hi, score_body, 0)
 
 
+def vertical_slash_block_mask(
+    q: jnp.ndarray,        # [Hq, S_pad, D] (padded)
+    k: jnp.ndarray,        # [Hkv, S_pad, D]
+    true_len: jnp.ndarray,  # scalar int32
+    QB: int, KB: int, v_topk: int, s_topk: int, last_q: int,
+) -> jnp.ndarray:
+    """MInference vertical-slash pattern estimation (block-granular TPU
+    adaptation of MInference's flagship head pattern; the reference delegates
+    to the external ``minference`` package, pyramidkv/minference.py:9-12).
+
+    The last ``last_q`` queries' attention over all keys estimates (a) per-
+    column "vertical" mass and (b) per-diagonal "slash" mass (constant
+    row-col offset).  The top ``v_topk`` columns and ``s_topk`` diagonals are
+    converted to a [Hq, n_qb, n_kvb] block mask; sink and diagonal blocks are
+    always kept.  All shapes static (top-k of fixed size, scatter-add bins).
+    """
+    Hq, S, D = q.shape
+    Hkv = k.shape[0]
+    G = Hq // Hkv
+    n_qb, n_kvb = S // QB, S // KB
+    scale = 1.0 / float(D) ** 0.5
+
+    start = jnp.maximum(true_len - last_q, 0)
+    qw = lax.dynamic_slice_in_dim(q, start, last_q, axis=1)  # [Hq, lq, D]
+    # bf16 MXU matmul with fp32 accumulation; grouped einsum instead of
+    # materializing repeat_kv (G x the K bytes at long S).
+    logits = jnp.einsum("hgqd,hkd->hgqk",
+                        qw.reshape(Hkv, G, last_q, D), k,
+                        preferred_element_type=jnp.float32
+                        ).reshape(Hq, last_q, S) * scale
+    rows_g = start + jnp.arange(last_q)[:, None]           # [lq, 1] global row
+    cols = jnp.arange(S)[None, :]                          # [1, S]
+    valid = (cols <= rows_g) & (cols < true_len) & (rows_g < true_len)
+    logits = jnp.where(valid[None], logits, NEG_INF)
+    A = jax.nn.softmax(logits, axis=-1)
+    A = jnp.where(valid[None], A, 0.0)
+
+    # vertical: column sums of the estimation window
+    vert = jnp.sum(A, axis=1)                              # [Hq, S]
+    _, vcols = lax.top_k(vert, min(v_topk, S))             # [Hq, v_topk]
+    vert_blk = jnp.any(jax.nn.one_hot(vcols // KB, n_kvb, dtype=jnp.bool_),
+                       axis=1)                             # [Hq, n_kvb]
+
+    # slash: diagonal sums at offset d = row - col.  Skew trick instead of a
+    # scatter: reverse columns and right-shift row r by r (static pads), so
+    # every diagonal lands on one column of the summed [S + lq] vector at
+    # position p = (S - 1 - d) + start - ... relabeled below.
+    A_rev = A[:, :, ::-1]                                  # c' = S-1-c
+    skew = jnp.stack([jnp.pad(A_rev[:, r], ((0, 0), (r, last_q - r)))
+                      for r in range(last_q)], axis=1)     # [Hq, lq, S+lq]
+    diag_sum = jnp.sum(skew, axis=1)                       # [Hq, S+lq]
+    _, spos = lax.top_k(diag_sum, min(s_topk, S))          # [Hq, s_topk]
+    # position p = c' + r = (S - 1 - c) + (row_g - start); d = row_g - c
+    # => d = p + start - (S - 1)
+    sdist = spos + start - (S - 1)                         # [Hq, s_topk]
+
+    # block intersections: q block qb rows [r0, r0+QB) hit kv block kvb cols
+    # [c0, c0+KB) along diagonal d iff r0-c0-KB < d <= r0-c0+QB-1.
+    diff = (jnp.arange(n_qb)[:, None] * QB
+            - jnp.arange(n_kvb)[None, :] * KB)             # [n_qb, n_kvb]
+    d = sdist[:, None, None, :]                            # [Hq, 1, 1, s_topk]
+    hit = (d > (diff - KB)[None, ..., None]) & \
+          (d <= (diff + QB - 1)[None, ..., None])
+    slash_blk = jnp.any(hit, axis=-1)                      # [Hq, n_qb, n_kvb]
+
+    mask = slash_blk | vert_blk[:, None, :]
+    # always keep sinks and the diagonal blocks (exact local attention)
+    diag = (diff >= -(KB - 1)) & (diff <= QB - 1)
+    mask = mask | diag[None] | (jnp.arange(n_kvb) == 0)[None, None, :]
+    return mask.astype(jnp.int32)
+
+
 @functools.partial(jax.jit,
                    static_argnames=("window", "q_block", "kv_block",
                                     "interpret", "sparse_pattern"))
@@ -209,33 +287,47 @@ def flash_prefill_attention(
         v = jnp.pad(v, pq)
 
     scale = 1.0 / float(D) ** 0.5
-    # sparse_pattern = (sink_blocks, local_blocks, stride): the MInference-
-    # equivalent a-shape sparse prefill — each q block attends its causal
-    # sinks, a local diagonal band, and every stride-th block between.
+    # sparse_pattern: the MInference-equivalent sparse prefill.
+    #  * (sink_blocks, local_blocks, stride) or ("ashape", s, l, st) — static
+    #    a-shape: causal sinks + local diagonal band + every stride-th block;
+    #  * ("vertical_slash", v_topk, s_topk, last_q) — MInference's flagship
+    #    dynamic pattern: per-head block mask estimated from the last queries.
+    sink_b, local_b, stride = 0, 0, 1
+    sparse = use_mask = False
+    tl1 = jnp.reshape(true_len.astype(jnp.int32), (1,))
+    scalar_args = (tl1,)
     if sparse_pattern is not None:
-        sink_b, local_b, stride = sparse_pattern
-        sparse = True
-    else:
-        sink_b, local_b, stride = 0, 0, 1
-        sparse = False
+        if sparse_pattern[0] == "vertical_slash":
+            _, v_topk, s_topk, last_q = sparse_pattern
+            sparse = use_mask = True
+            mask = vertical_slash_block_mask(q, k, true_len, QB, KB,
+                                             v_topk, s_topk, last_q)
+            scalar_args = (tl1, mask)
+        elif sparse_pattern[0] == "ashape":
+            _, sink_b, local_b, stride = sparse_pattern
+            sparse = True
+        else:
+            sink_b, local_b, stride = sparse_pattern
+            sparse = True
     kernel = functools.partial(_flash_kernel, S_pad, QB, KB, D, G, window,
-                               scale, sparse, sink_b, local_b, stride)
+                               scale, sparse, sink_b, local_b, stride,
+                               use_mask)
 
+    n_scalar = len(scalar_args)
+    blk_q = lambda h, b, *_: (h, b, 0)
+    blk_s = lambda h, b, *_: (h, 0, 0)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=n_scalar,
         grid=(Hq, S_pad // QB),
         in_specs=[
-            pl.BlockSpec((1, QB, D), lambda h, b, tl: (h, b, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, QB, D), blk_q, memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.HBM),
             pl.BlockSpec(memory_space=pltpu.HBM),
         ],
         out_specs=[
-            pl.BlockSpec((1, QB, D), lambda h, b, tl: (h, b, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, QB, D), blk_q, memory_space=pltpu.VMEM),
             # scores block resident across the q-block loop (same index per h)
-            pl.BlockSpec((1, 1, S_pad), lambda h, b, tl: (h, 0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, S_pad), blk_s, memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
             pltpu.VMEM((2, KB, D), k.dtype),
@@ -252,7 +344,7 @@ def flash_prefill_attention(
             jax.ShapeDtypeStruct((Hq, 1, S_pad), jnp.float32),
         ],
         interpret=interpret,
-    )(jnp.reshape(true_len.astype(jnp.int32), (1,)), q, k, v)
+    )(*scalar_args, q, k, v)
 
     return out[:, :S], scores[:, 0, :S]
 

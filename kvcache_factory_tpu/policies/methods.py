@@ -113,8 +113,10 @@ def compress_layer(
     C = capacity
     method = cfg.method
 
-    if method == "fullkv":
-        # Uncompressed cache stays at num_key_value_heads — no repeat_kv blowup.
+    if method in ("fullkv", "minference"):
+        # Uncompressed cache stays at num_key_value_heads — no repeat_kv
+        # blowup.  (minference = sparse PREFILL attention only; the cache is
+        # retained in full, pyramidkv/minference.py:49-59.)
         lens = jnp.broadcast_to(jnp.minimum(true_len, C).astype(jnp.int32), (Hkv,))
         return PackedKV(k[:, :C], v[:, :C], lens)
 
