@@ -24,7 +24,7 @@ INT4 packs two values per int8 byte along the channel axis.
 
 from __future__ import annotations
 
-from typing import NamedTuple, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -34,7 +34,12 @@ from ..config import QuantConfig
 
 
 class QuantizedKVCache(NamedTuple):
-    """Stacked [L, ...] quantized cache; same control interface as KVCache."""
+    """Stacked [L, ...] quantized cache; same control interface as KVCache.
+
+    ``rk``/``rv`` are an optional full-precision ring over the most recent
+    ``residual_length`` entries (the reference's fp residual buffer,
+    quantcache.py:59-96): ring slot for cache row ``c`` is ``c % R``; reads of
+    recent rows take the fp ring instead of the dequantized codes."""
 
     qk: jnp.ndarray        # [L, B, H, C, D_packed] int8
     qv: jnp.ndarray        # [L, B, H, C, D_packed] int8
@@ -44,10 +49,16 @@ class QuantizedKVCache(NamedTuple):
     v_zero: jnp.ndarray    # [L, B, H, C, G] bf16
     lengths: jnp.ndarray   # [L, B, H] int32
     positions: jnp.ndarray  # [B] int32
+    rk: Optional[jnp.ndarray] = None  # [L, B, H, R, D] fp residual ring
+    rv: Optional[jnp.ndarray] = None  # [L, B, H, R, D]
 
     @property
     def capacity(self) -> int:
         return self.qk.shape[3]
+
+    @property
+    def residual_length(self) -> int:
+        return 0 if self.rk is None else self.rk.shape[3]
 
 
 def _qparams(nbits: int) -> Tuple[float, int]:
@@ -80,36 +91,63 @@ def dequantize_groups(codes: jnp.ndarray, scale: jnp.ndarray,
     return x.reshape(*lead, D).astype(dtype)
 
 
+# How many quantized values share one stored byte, per bit-width.  3-bit
+# values occupy a nibble each (the reference's HQQ 3-bit packing wastes bits
+# similarly — hqq Quantizer bit_to_packing maps 3 -> "3bit_32" over int32;
+# here the storage grain is int8 so a nibble is the natural slot).
+VALUES_PER_BYTE = {1: 8, 2: 4, 3: 2, 4: 2, 8: 1}
+
+
+def values_per_byte(nbits: int) -> int:
+    return VALUES_PER_BYTE[nbits]
+
+
+def pack_codes(codes: jnp.ndarray, nbits: int) -> jnp.ndarray:
+    """[..., D] int codes (0..2^nbits-1) -> [..., D//vpb] int8, ``vpb``
+    adjacent values per byte (value i in bits [i*w, i*w+nbits), w = 8//vpb),
+    biased by -128 to fit signed int8 storage."""
+    if nbits == 8:
+        return (codes - 128).astype(jnp.int8)
+    vpb = values_per_byte(nbits)
+    w = 8 // vpb
+    *lead, D = codes.shape
+    cg = codes.reshape(*lead, D // vpb, vpb)
+    shifts = (jnp.arange(vpb, dtype=jnp.int32) * w)
+    byte = jnp.sum(cg << shifts, axis=-1)
+    return (byte - 128).astype(jnp.int8)
+
+
+def unpack_codes(packed: jnp.ndarray, nbits: int) -> jnp.ndarray:
+    """[..., D//vpb] int8 -> [..., D] int codes (0..2^nbits-1)."""
+    if nbits == 8:
+        return packed.astype(jnp.int32) + 128
+    vpb = values_per_byte(nbits)
+    w = 8 // vpb
+    p = (packed.astype(jnp.int32) + 128) & 0xFF
+    shifts = (jnp.arange(vpb, dtype=jnp.int32) * w)
+    vals = (p[..., None] >> shifts) & ((1 << nbits) - 1)
+    return vals.reshape(*packed.shape[:-1], packed.shape[-1] * vpb)
+
+
 def pack_int4(codes: jnp.ndarray) -> jnp.ndarray:
-    """[..., D] int codes (0..15) -> [..., D//2] int8, two nibbles per byte."""
-    lo = codes[..., 0::2]
-    hi = codes[..., 1::2]
-    return (lo | (hi << 4)).astype(jnp.int8)
+    """[..., D] int codes (0..15) -> [..., D//2] int8 (see pack_codes)."""
+    return pack_codes(codes, 4)
 
 
 def unpack_int4(packed: jnp.ndarray) -> jnp.ndarray:
     """[..., D//2] int8 -> [..., D] int codes (0..15)."""
-    p = packed.astype(jnp.int32) & 0xFF
-    lo = p & 0xF
-    hi = (p >> 4) & 0xF
-    return jnp.stack([lo, hi], axis=-1).reshape(*packed.shape[:-1],
-                                               packed.shape[-1] * 2)
+    return unpack_codes(packed, 4)
 
 
 def encode(x: jnp.ndarray, cfg: QuantConfig):
     """[..., D] fp -> (stored int8 [..., D_packed], scale, zero)."""
     codes, scale, zero = quantize_groups(x, cfg.q_group_size, cfg.nbits)
-    if cfg.nbits == 4:
-        stored = pack_int4(codes)
-    else:
-        stored = (codes - 128).astype(jnp.int8)  # bias to signed int8 storage
+    stored = pack_codes(codes, cfg.nbits)
     return stored, scale.astype(jnp.bfloat16), zero.astype(jnp.bfloat16)
 
 
 def decode_codes(stored: jnp.ndarray, cfg: QuantConfig) -> jnp.ndarray:
-    if cfg.nbits == 4:
-        return unpack_int4(stored)
-    return stored.astype(jnp.int32) + 128
+    return unpack_codes(stored, cfg.nbits)
 
 
 def decode_values(stored: jnp.ndarray, scale: jnp.ndarray, zero: jnp.ndarray,
@@ -119,7 +157,18 @@ def decode_values(stored: jnp.ndarray, scale: jnp.ndarray, zero: jnp.ndarray,
 
 
 def packed_dim(head_dim: int, cfg: QuantConfig) -> int:
-    return head_dim // 2 if cfg.nbits == 4 else head_dim
+    return head_dim // values_per_byte(cfg.nbits)
+
+
+def residual_ring_rows(lengths: jnp.ndarray, R: int, capacity: int):
+    """Cache-row index feeding each ring slot at prefill: ring slot ``j``
+    holds the unique row ``r`` in ``[max(0, len-R), len)`` with ``r % R == j``
+    (rows that don't exist yet are clamped; they're never read because the
+    recent-window mask bounds reads to ``[len-R, len)``)."""
+    j = jnp.arange(R, dtype=jnp.int32)
+    r0 = lengths[..., None] - R  # [..., 1] broadcast against j
+    rows = r0 + jnp.mod(j - r0, R)
+    return jnp.clip(rows, 0, capacity - 1)
 
 
 def from_packed_prefill(k: jnp.ndarray, v: jnp.ndarray, lengths: jnp.ndarray,
@@ -129,12 +178,18 @@ def from_packed_prefill(k: jnp.ndarray, v: jnp.ndarray, lengths: jnp.ndarray,
     headroom appended as zero slots)."""
     qk, ks, kz = encode(k, cfg)
     qv, vs, vz = encode(v, cfg)
+    rk = rv = None
+    if cfg.residual_length > 0:
+        rows = residual_ring_rows(lengths, cfg.residual_length, k.shape[3])
+        rk = jnp.take_along_axis(k, rows[..., None], axis=3)
+        rv = jnp.take_along_axis(v, rows[..., None], axis=3)
     if extra_capacity:
         pad5 = ((0, 0), (0, 0), (0, 0), (0, extra_capacity), (0, 0))
         qk, qv = jnp.pad(qk, pad5), jnp.pad(qv, pad5)
         ks, kz = jnp.pad(ks, pad5), jnp.pad(kz, pad5)
         vs, vz = jnp.pad(vs, pad5), jnp.pad(vz, pad5)
-    return QuantizedKVCache(qk, qv, ks, kz, vs, vz, lengths, positions)
+    return QuantizedKVCache(qk, qv, ks, kz, vs, vz, lengths, positions,
+                            rk, rv)
 
 
 def append_layer_quant(layer_cache: Tuple, k_new: jnp.ndarray,

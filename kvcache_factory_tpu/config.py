@@ -257,15 +257,23 @@ class QuantConfig:
     scales rather than a sparse scatter (quantcache.py:51-58).
     """
 
-    nbits: int = 8  # 4 or 8
+    nbits: int = 8  # 1 | 2 | 3 | 4 | 8 (reference HQQ accepts 1-8, quantcache.py:26)
     q_group_size: int = 64  # groups along head_dim (reference run_longbench.py:287)
-    residual_length: int = 128  # recent tokens kept in full precision
+    # Recent tokens kept in full precision alongside the quantized store (the
+    # reference's fp residual buffer, quantcache.py:59-96 — there it batches
+    # re-quantization; here every token is also quantized once at write, and
+    # the fp ring simply wins the read for the last ``residual_length``
+    # entries, so accuracy matches the reference's "recent tokens are exact"
+    # semantics with no re-quantization stall).  0 disables the ring.
+    # Honored on the XLA quant path (the Pallas int8/int4 kernels keep
+    # per-token full-head_dim scales instead).
+    residual_length: int = 0
     axis_key: int = 1
     axis_value: int = 0
 
     def __post_init__(self):
-        if self.nbits not in (4, 8):
-            raise ValueError("TPU quantized cache supports nbits in {4, 8}")
+        if self.nbits not in (1, 2, 3, 4, 8):
+            raise ValueError("quantized cache supports nbits in {1, 2, 3, 4, 8}")
 
 
 # ---------------------------------------------------------------------------

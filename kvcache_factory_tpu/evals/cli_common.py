@@ -39,7 +39,12 @@ def add_engine_args(ap: argparse.ArgumentParser) -> None:
                     choices=["none", "mean", "max", "sum"])
     ap.add_argument("--quant_method", type=str, default=None,
                     choices=[None, "kvquant"])
-    ap.add_argument("--nbits", type=int, default=8)
+    ap.add_argument("--nbits", type=int, default=8,
+                    help="KV cache bit-width: 1/2/3/4/8 (reference HQQ range)")
+    ap.add_argument("--residual_length", type=int, default=0,
+                    help="recent tokens kept full-precision alongside the "
+                         "quantized cache (reference sets output_max_len, "
+                         "run_longbench.py:283; 0 disables)")
     ap.add_argument("--prefill_buckets", type=int, nargs="*",
                     default=[512, 1024, 2048, 4096, 8192])
 
@@ -87,7 +92,8 @@ def build_engine_from_args(args) -> Tuple[InferenceEngine, object, str]:
     quant = None
     if args.quant_method == "kvquant":
         from ..config import QuantConfig
-        quant = QuantConfig(nbits=args.nbits)
+        quant = QuantConfig(nbits=args.nbits,
+                            residual_length=args.residual_length)
 
     cfg = EngineConfig(model=model_cfg, compression=comp, quant=quant,
                        prefill_buckets=tuple(args.prefill_buckets))

@@ -349,6 +349,8 @@ def _quant_tpu_layout(quant: QuantConfig, head_dim: int, capacity: int) -> bool:
     import os
     if os.environ.get("KVCF_DISABLE_PALLAS_QUANT") == "1":
         return False
+    if quant.residual_length > 0:
+        return False  # the fp residual ring lives on the XLA quant path
     if jax.default_backend() not in ("tpu", "axon") or head_dim % 128 != 0:
         return False
     if quant.nbits == 8:
@@ -571,7 +573,8 @@ def decode_step(
         q, k, v = qkv_rope(x, lp)
 
         if quantized:
-            qk_a, qv_a, ks_a, kz_a, vs_a, vz_a, lens_all = stacks
+            (qk_a, qv_a, ks_a, kz_a, vs_a, vz_a, lens_all), ring = \
+                stacks[:7], stacks[7:]
             lens = slice_l(lens_all, li)
             nk, nks, nkz = encode(k.astype(dtype), quant)  # [B,H,1,D'],[B,H,1,G]
             nv, nvs, nvz = encode(v.astype(dtype), quant)
@@ -583,15 +586,34 @@ def decode_step(
             qk_a, qv_a = scat(qk_a, nk), scat(qv_a, nv)
             ks_a, kz_a = scat(ks_a, nks), scat(kz_a, nkz)
             vs_a, vz_a = scat(vs_a, nvs), scat(vz_a, nvz)
+            if ring:
+                # fp residual ring (quantcache.py:59-96 semantics): the new
+                # token also lands in the ring at slot ``row % R``; reads of
+                # the last R rows take the exact fp values below.
+                rk_a, rv_a = ring
+                R = rk_a.shape[3]
+                rslot = lens % R
+                rk_a = rk_a.at[li, bi, hi, rslot].set(k.astype(dtype)[:, :, 0])
+                rv_a = rv_a.at[li, bi, hi, rslot].set(v.astype(dtype)[:, :, 0])
+                ring = (rk_a, rv_a)
             lens = jnp.minimum(lens + 1, C)
             k_read = decode_values(slice_l(qk_a, li), slice_l(ks_a, li),
                                    slice_l(kz_a, li), quant, dtype)
             v_read = decode_values(slice_l(qv_a, li), slice_l(vs_a, li),
                                    slice_l(vz_a, li), quant, dtype)
+            if ring:
+                rk_l, rv_l = slice_l(ring[0], li), slice_l(ring[1], li)
+                cidx = jnp.arange(C, dtype=jnp.int32)
+                recent = ((cidx[None, None] >= lens[..., None] - R)
+                          & (cidx[None, None] < lens[..., None]))[..., None]
+                k_read = jnp.where(recent, jnp.take(rk_l, cidx % R, axis=2),
+                                   k_read)
+                v_read = jnp.where(recent, jnp.take(rv_l, cidx % R, axis=2),
+                                   v_read)
             mask = valid_mask(lens, C)[:, :, None, :]  # [B, H, 1, C]
             attn = grouped_attention(q, k_read, v_read, mask)
             lens_all = lax.dynamic_update_index_in_dim(lens_all, lens, li, 0)
-            stacks = (qk_a, qv_a, ks_a, kz_a, vs_a, vz_a, lens_all)
+            stacks = (qk_a, qv_a, ks_a, kz_a, vs_a, vz_a, lens_all) + ring
         elif evicting:
             # Decode-stage compression (reference TODO README.md:31): attend,
             # accumulate per-slot attention mass, evict-append when full.
@@ -652,6 +674,8 @@ def decode_step(
     elif quantized:
         stacks0 = (cache.qk, cache.qv, cache.k_scale, cache.k_zero,
                    cache.v_scale, cache.v_zero, cache.lengths)
+        if cache.rk is not None:
+            stacks0 = stacks0 + (cache.rk, cache.rv)
     else:
         stacks0 = (cache.k, cache.v, cache.lengths)
     (x, stacks), _ = lax.scan(layer_fn, (x, stacks0),
@@ -666,9 +690,9 @@ def decode_step(
         new_cache = EvictingKVCache(k_all, v_all, sc_all, st_all, len_all,
                                     cache.positions + 1)
     elif quantized:
-        qk, qv, ks, kz, vs, vz, len_all = stacks
+        (qk, qv, ks, kz, vs, vz, len_all), ring = stacks[:7], stacks[7:]
         new_cache = QuantizedKVCache(qk, qv, ks, kz, vs, vz, len_all,
-                                     cache.positions + 1)
+                                     cache.positions + 1, *ring)
     else:
         k_all, v_all, len_all = stacks
         new_cache = KVCache(k=k_all, v=v_all, lengths=len_all,

@@ -82,3 +82,101 @@ def test_quantized_with_compression():
     assert res.cache.qk.dtype == jnp.int8
     lens = np.asarray(res.cache.lengths)
     assert np.all(lens == cap + new - 1)
+
+
+@pytest.mark.parametrize("nbits", [1, 2, 3, 4, 8])
+def test_pack_roundtrip_all_bits(nbits):
+    """Generic bit packing (reference HQQ accepts nbits 1-8, quantcache.py:26)."""
+    rng = np.random.default_rng(4)
+    codes = rng.integers(0, 2 ** nbits, size=(3, 5, 16)).astype(np.int32)
+    packed = QC.pack_codes(jnp.asarray(codes), nbits)
+    assert packed.dtype == jnp.int8
+    assert packed.shape == (3, 5, 16 // QC.values_per_byte(nbits))
+    out = QC.unpack_codes(packed, nbits)
+    np.testing.assert_array_equal(np.asarray(out), codes)
+
+
+@pytest.mark.parametrize("nbits,tol", [(3, 0.15), (2, 0.35), (1, 0.8)])
+def test_low_bit_roundtrip_error(nbits, tol):
+    """Affine per-group error bound: <= group_spread / (2 * (2^n - 1)), so
+    well under tol * global_spread for each bit-width."""
+    rng = np.random.default_rng(5)
+    x = rng.normal(size=(2, 4, 16, 64)).astype(np.float32)
+    cfg = QuantConfig(nbits=nbits, q_group_size=32)
+    stored, scale, zero = QC.encode(jnp.asarray(x), cfg)
+    out = QC.decode_values(stored, scale, zero, cfg, jnp.float32)
+    err = np.abs(np.asarray(out) - x).max()
+    spread = x.max() - x.min()
+    assert err < tol * spread, (err, spread)
+
+
+def test_low_bit_generation_runs():
+    """2-bit cache generation completes with the right shapes (accuracy at
+    2 bits is a research knob, not asserted on a random tiny model)."""
+    model, cfg, params = tiny_hf_llama(23)
+    S, new = 32, 4
+    rng = np.random.default_rng(6)
+    toks = rng.integers(0, cfg.vocab_size, size=(1, S))
+    gen_cfg = GenerationConfig(max_new_tokens=new, eos_token_ids=())
+    qcfg = QuantConfig(nbits=2, q_group_size=8)
+    res = generate(params, cfg, FULL, gen_cfg, jnp.asarray(toks, jnp.int32),
+                   jnp.asarray([S], jnp.int32), cache_capacity=S + new,
+                   quant_cfg=qcfg)
+    assert int(res.num_tokens[0]) == new
+    assert res.cache.qk.shape[-1] == cfg.head_dim // 4  # 4 values per byte
+
+
+def test_residual_ring_rows_mapping():
+    from kvcache_factory_tpu.cache.quant_cache import residual_ring_rows
+    rows = np.asarray(residual_ring_rows(jnp.asarray([10]), 4, 12))[0]
+    # ring slot j holds the unique row r in [6, 10) with r % 4 == j
+    np.testing.assert_array_equal(rows, [8, 9, 6, 7])
+    rows = np.asarray(residual_ring_rows(jnp.asarray([5]), 8, 6))[0]
+    np.testing.assert_array_equal(rows[:5], [0, 1, 2, 3, 4])
+
+
+def test_residual_ring_covers_all_rows_matches_fp():
+    """With residual_length >= every row, all reads come from the fp ring —
+    generation must be bit-identical to the fp cache (the strongest check of
+    the ring slot arithmetic; reference semantics quantcache.py:59-96)."""
+    model, cfg, params = tiny_hf_llama(24)
+    S, new = 40, 8
+    rng = np.random.default_rng(7)
+    toks = rng.integers(0, cfg.vocab_size, size=(1, S))
+    gen_cfg = GenerationConfig(max_new_tokens=new, eos_token_ids=())
+    qcfg = QuantConfig(nbits=2, q_group_size=8, residual_length=S + new)
+
+    fp = generate(params, cfg, FULL, gen_cfg, jnp.asarray(toks, jnp.int32),
+                  jnp.asarray([S], jnp.int32), cache_capacity=S + new)
+    q = generate(params, cfg, FULL, gen_cfg, jnp.asarray(toks, jnp.int32),
+                 jnp.asarray([S], jnp.int32), cache_capacity=S + new,
+                 quant_cfg=qcfg)
+    np.testing.assert_array_equal(np.asarray(fp.tokens), np.asarray(q.tokens))
+
+
+def test_residual_ring_partial_improves_int4():
+    """A partial fp ring must not hurt: int4+ring tracks fp at least as far
+    as plain int4 on the same inputs."""
+    model, cfg, params = tiny_hf_llama(25)
+    S, new = 48, 8
+    rng = np.random.default_rng(8)
+    toks = rng.integers(0, cfg.vocab_size, size=(1, S))
+    gen_cfg = GenerationConfig(max_new_tokens=new, eos_token_ids=())
+
+    fp = generate(params, cfg, FULL, gen_cfg, jnp.asarray(toks, jnp.int32),
+                  jnp.asarray([S], jnp.int32), cache_capacity=S + new)
+    plain = generate(params, cfg, FULL, gen_cfg, jnp.asarray(toks, jnp.int32),
+                     jnp.asarray([S], jnp.int32), cache_capacity=S + new,
+                     quant_cfg=QuantConfig(nbits=4, q_group_size=8))
+    ring = generate(params, cfg, FULL, gen_cfg, jnp.asarray(toks, jnp.int32),
+                    jnp.asarray([S], jnp.int32), cache_capacity=S + new,
+                    quant_cfg=QuantConfig(nbits=4, q_group_size=8,
+                                          residual_length=16))
+
+    def match_len(a, b):
+        a, b = np.asarray(a)[0], np.asarray(b)[0]
+        neq = np.nonzero(a != b)[0]
+        return int(neq[0]) if neq.size else len(a)
+
+    assert match_len(ring.tokens, fp.tokens) >= match_len(plain.tokens,
+                                                          fp.tokens)
