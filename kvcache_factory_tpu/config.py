@@ -179,6 +179,14 @@ class CompressionConfig:
     head_beta: float = 1.01
     pruning_ratio: float = 0.4
     recent_size: int = 32
+    # ThinK storage mode: False = pruned channels zeroed in place (decode math
+    # identical to the reference, no shape change); True = REAL memory saving —
+    # keys stored at D*(1-ratio) channels plus a small dense buffer for recent
+    # + decoded rows, decode splits the QK product exactly like the
+    # reference's pruned-past + dense-recent attention
+    # (llama_model_think.py:175-181).  Packed mode prunes whenever rows are
+    # older than recent_size (no no-compress carve-out for short prompts).
+    think_packed: bool = False
     merge: Optional[str] = None  # None | "pivot"
     group_reduce: str = "none"  # "none" | "mean" | "max" | "sum"
     head_capacity_bound_factor: float = 2.0
@@ -205,6 +213,8 @@ class CompressionConfig:
             raise ValueError("max_capacity_prompt must exceed window_size")
         if self.pooling not in ("avgpool", "maxpool"):
             raise ValueError("pooling must be avgpool or maxpool")
+        if self.think_packed and self.method != "think":
+            raise ValueError("think_packed requires method='think'")
 
     @property
     def base_capacity(self) -> int:

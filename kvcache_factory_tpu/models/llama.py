@@ -300,12 +300,33 @@ def prefill(
         pad = cache_capacity - policy_capacity
         k_layer = jnp.pad(packed.k, ((0, 0), (0, 0), (0, pad), (0, 0))).astype(dtype)
         v_layer = jnp.pad(packed.v, ((0, 0), (0, 0), (0, pad), (0, 0))).astype(dtype)
+        if think_packed:
+            from ..policies.think import think_channel_keep_idx
+            if cache_heads == Hq:
+                q_for = q
+            else:  # saliency aggregated per kv head (grouped cache)
+                q_for = jnp.mean(q.reshape(B, Hkv, Hq // Hkv, S, D), axis=2)
+            channels = jax.vmap(think_channel_keep_idx,
+                                in_axes=(0, 0, 0, 0, None))(
+                packed.k, packed.lengths, q_for, true_len,
+                comp.pruning_ratio)  # [B, H, Dk]
+            return x, (k_layer, v_layer, packed.lengths, channels)
         return x, (k_layer, v_layer, packed.lengths)
+
+    think_packed = comp.method == "think" and comp.think_packed
+    if think_packed:
+        assert quant is None and not comp.decode_evict, \
+            "think_packed composes with neither the quantized cache nor decode_evict"
 
     layer_ids = jnp.arange(L, dtype=jnp.int32)
     keys = jax.random.split(rng, L)
-    x, (k_all, v_all, len_all) = lax.scan(
-        layer_fn, x, (params["layers"], layer_ids, head_capacity, keys))
+    channels_all = None
+    if think_packed:
+        x, (k_all, v_all, len_all, channels_all) = lax.scan(
+            layer_fn, x, (params["layers"], layer_ids, head_capacity, keys))
+    else:
+        x, (k_all, v_all, len_all) = lax.scan(
+            layer_fn, x, (params["layers"], layer_ids, head_capacity, keys))
 
     x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
     lm_head = params["lm_head"]
@@ -326,6 +347,13 @@ def prefill(
         else:
             cache = from_packed_prefill(k_all, v_all, len_all,
                                         true_len.astype(jnp.int32), quant)
+    elif think_packed:
+        from ..cache.think_cache import build_think_cache
+        dense_cap = min(cache_capacity,
+                        comp.recent_size + (cache_capacity - policy_capacity))
+        cache = build_think_cache(k_all, v_all, channels_all, len_all,
+                                  true_len.astype(jnp.int32),
+                                  comp.recent_size, dense_cap)
     elif comp.decode_evict:
         pos = true_len.astype(jnp.int32)
         cache = EvictingKVCache(
@@ -382,15 +410,19 @@ def decode_step(
     dtype = dtype_of(cfg)
     Hq, Hkv, D = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
     C = cache.capacity
+    from ..cache.think_cache import ThinKCache
     quantized = isinstance(cache, QuantizedKVCache)
     quantized_tpu = isinstance(cache, QuantKVCacheTPU)
     quantized_tpu4 = isinstance(cache, QuantKVCacheTPU4)
     evicting = isinstance(cache, EvictingKVCache)
+    thinkc = isinstance(cache, ThinKCache)
     assert (quantized or quantized_tpu or quantized_tpu4) == \
         (quant is not None), \
         "quant config must be passed iff the cache is quantized"
     if quantized_tpu or quantized_tpu4:
         cache_heads = cache.k_codes.shape[2]
+    elif thinkc:
+        cache_heads = cache.v.shape[2]
     else:
         cache_heads = (cache.qk if quantized else cache.k).shape[2]
     if attn_backend == "auto":
@@ -403,6 +435,7 @@ def decode_step(
         attn_backend = "pallas" if (on_tpu and D % 128 == 0) else "xla"
     use_pallas = (attn_backend == "pallas" and not quantized
                   and not quantized_tpu and not quantized_tpu4 and not evicting
+                  and not thinkc
                   and D % 128 == 0   # kernel needs lane-aligned head_dim
                   and C % 16 == 0 and C >= 32)  # tile-aligned capacity
 
@@ -614,6 +647,50 @@ def decode_step(
             attn = grouped_attention(q, k_read, v_read, mask)
             lens_all = lax.dynamic_update_index_in_dim(lens_all, lens, li, 0)
             stacks = (qk_a, qv_a, ks_a, kz_a, vs_a, vz_a, lens_all) + ring
+        elif thinkc:
+            # ThinK packed decode (llama_model_think.py:175-181): pruned
+            # logits ``q[channels] . kp`` cover prefill rows; rows at or past
+            # ``boundary`` (recent prefill + every decoded token) are
+            # overwritten with exact dense logits ``q . kd``.  Values are
+            # never pruned, so the PV product is the standard one.
+            kp_a, ch_a, kd_a, v_a, bnd_a, lens_all = stacks
+            Cr = kd_a.shape[3]
+            lens = slice_l(lens_all, li)   # [B, H]
+            bnd = slice_l(bnd_a, li)       # [B, H]
+            kd_a = kd_a.at[li, bi, hi, lens - bnd].set(
+                k.astype(dtype)[:, :, 0], mode="drop")
+            v_a = v_a.at[li, bi, hi, lens].set(
+                v.astype(dtype)[:, :, 0], mode="drop")
+            # effective capacity: the dense buffer can hold Cr rows past the
+            # boundary — appends beyond that are dropped, like lens==C.
+            lens = jnp.minimum(jnp.minimum(lens + 1, bnd + Cr), C)
+            kp_l = slice_l(kp_a, li)   # [B, H, C, Dk]
+            ch_l = slice_l(ch_a, li)   # [B, H, Dk]
+            kd_l = slice_l(kd_a, li)   # [B, H, Cr, D]
+            v_l = slice_l(v_a, li)     # [B, H, C, D]
+            Hk = v_l.shape[1]
+            Gq = Hq // Hk
+            qg = q.reshape(B, Hk, Gq, D)
+            qp = jnp.take_along_axis(qg, ch_l[:, :, None, :], axis=3)
+            logit_p = jnp.einsum("bhgd,bhkd->bhgk", qp, kp_l,
+                                 preferred_element_type=jnp.float32)
+            logit_d = jnp.einsum("bhgd,bhkd->bhgk", qg, kd_l,
+                                 preferred_element_type=jnp.float32)
+            cidx = jnp.arange(C, dtype=jnp.int32)[None, None]      # [1,1,C]
+            in_dense = (cidx >= bnd[..., None]) & (cidx < bnd[..., None] + Cr)
+            didx = jnp.clip(cidx - bnd[..., None], 0, Cr - 1)      # [B,H,C]
+            dense_full = jnp.take_along_axis(logit_d, didx[:, :, None, :],
+                                             axis=3)               # [B,H,Gq,C]
+            logit = jnp.where(in_dense[:, :, None, :], dense_full, logit_p)
+            logit = logit / jnp.sqrt(jnp.asarray(D, jnp.float32))
+            valid = cidx < lens[..., None]
+            logit = jnp.where(valid[:, :, None, :], logit, NEG_INF)
+            probs = jax.nn.softmax(logit, axis=-1)
+            out = jnp.einsum("bhgk,bhkd->bhgd", probs.astype(v_l.dtype), v_l,
+                             preferred_element_type=jnp.float32)
+            attn = out.reshape(B, Hq, 1, D).astype(q.dtype)
+            lens_all = lax.dynamic_update_index_in_dim(lens_all, lens, li, 0)
+            stacks = (kp_a, ch_a, kd_a, v_a, bnd_a, lens_all)
         elif evicting:
             # Decode-stage compression (reference TODO README.md:31): attend,
             # accumulate per-slot attention mass, evict-append when full.
@@ -668,7 +745,10 @@ def decode_step(
             stacks = (k_a, v_a, lens_all)
         return (finish_layer(x, attn, lp), stacks), None
 
-    if evicting:
+    if thinkc:
+        stacks0 = (cache.kp, cache.channels, cache.kd, cache.v,
+                   cache.boundary, cache.lengths)
+    elif evicting:
         stacks0 = (cache.k, cache.v, cache.scores, cache.stamps,
                    cache.lengths)
     elif quantized:
@@ -685,7 +765,12 @@ def decode_step(
     x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
     logits = (x[:, 0] @ params["lm_head"]).astype(jnp.float32)  # [B, V]
 
-    if evicting:
+    if thinkc:
+        kp_all, ch_all, kd_all, v_all, bnd_all, len_all = stacks
+        new_cache = ThinKCache(kp=kp_all, channels=ch_all, kd=kd_all,
+                               v=v_all, boundary=bnd_all, lengths=len_all,
+                               positions=cache.positions + 1)
+    elif evicting:
         k_all, v_all, sc_all, st_all, len_all = stacks
         new_cache = EvictingKVCache(k_all, v_all, sc_all, st_all, len_all,
                                     cache.positions + 1)

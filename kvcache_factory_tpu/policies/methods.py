@@ -226,7 +226,9 @@ def compress_layer(
             no_compress, lambda p: p,
             lambda p: lookm_pivot_merge(p, gidx, k_sel, v_sel, true_len), packed)
 
-    if method == "think":
+    if method == "think" and not cfg.think_packed:
+        # think_packed leaves the packed keys UNPRUNED here; the model builds
+        # a channel-packed ThinKCache from them (cache/think_cache.py).
         q_for_prune = q if per_query_cache else q  # saliency is per query head
         if not per_query_cache:
             # aggregate query stats per kv head for the grouped cache

@@ -26,6 +26,44 @@ from .base import PackedKV
 _QUERY_WINDOW = 32  # hard-coded q[..., -32:, :] in the reference (:17)
 
 
+def think_saliency(
+    k: jnp.ndarray,          # [H, C, D] packed keys
+    lengths: jnp.ndarray,    # [H] valid rows
+    q: jnp.ndarray,          # [H, S, D] full prefill queries
+    true_len: jnp.ndarray,   # scalar int32
+) -> jnp.ndarray:
+    """Per-head channel saliency ``mean(q[-32:]**2) * mean(k**2)`` over valid
+    rows (key_pruner_query_driven, pyramidkv_utils.py:17-21). [H, D] fp32."""
+    H, C, D = k.shape
+    q_win = lax.dynamic_slice_in_dim(q, jnp.maximum(true_len - _QUERY_WINDOW, 0),
+                                     _QUERY_WINDOW, axis=1)
+    queries_norm = jnp.mean(jnp.square(q_win.astype(jnp.float32)), axis=1)  # [H, D]
+
+    row_ids = lax.broadcasted_iota(jnp.int32, (H, C), 1)
+    row_valid = (row_ids < lengths[:, None]).astype(jnp.float32)  # [H, C]
+    kf = jnp.square(k.astype(jnp.float32)) * row_valid[..., None]
+    keys_norm = jnp.sum(kf, axis=1) / jnp.maximum(
+        jnp.sum(row_valid, axis=1, keepdims=True), 1.0)  # [H, D]
+    return queries_norm * keys_norm
+
+
+def think_channel_keep_idx(
+    k: jnp.ndarray,          # [H, C, D]
+    lengths: jnp.ndarray,    # [H]
+    q: jnp.ndarray,          # [H, S, D]
+    true_len: jnp.ndarray,
+    pruning_ratio: float,
+) -> jnp.ndarray:
+    """Kept-channel indices [H, D - int(D*ratio)] int32, ascending — the
+    packed-storage complement of the reference's dropped-channel top-k
+    (largest=False over saliency, pyramidkv_utils.py:22)."""
+    H, C, D = k.shape
+    dkeep = D - int(D * pruning_ratio)
+    saliency = think_saliency(k, lengths, q, true_len)
+    _, keep_idx = lax.top_k(saliency, dkeep)
+    return jnp.sort(keep_idx, axis=-1).astype(jnp.int32)
+
+
 def think_prune_channels(
     packed: PackedKV,
     q: jnp.ndarray,          # [H, S, D] full prefill queries
@@ -39,23 +77,14 @@ def think_prune_channels(
     if kdrop == 0:
         return packed
 
-    q_win = lax.dynamic_slice_in_dim(q, jnp.maximum(true_len - _QUERY_WINDOW, 0),
-                                     _QUERY_WINDOW, axis=1)
-    queries_norm = jnp.mean(jnp.square(q_win.astype(jnp.float32)), axis=1)  # [H, D]
-
-    row_ids = lax.broadcasted_iota(jnp.int32, (H, C), 1)
-    row_valid = (row_ids < lengths[:, None]).astype(jnp.float32)  # [H, C]
-    kf = jnp.square(k.astype(jnp.float32)) * row_valid[..., None]
-    keys_norm = jnp.sum(kf, axis=1) / jnp.maximum(
-        jnp.sum(row_valid, axis=1, keepdims=True), 1.0)  # [H, D]
-
-    saliency = queries_norm * keys_norm  # [H, D]
+    saliency = think_saliency(k, lengths, q, true_len)  # [H, D]
     # Drop the kdrop smallest-saliency channels (reference topk largest=False).
     _, drop_idx = lax.top_k(-saliency, kdrop)
     keep = jnp.ones((H, D), bool).at[
         lax.broadcasted_iota(jnp.int32, (H, kdrop), 0), drop_idx].set(False)
 
     # Prune only non-recent rows: row < length - recent_size.
+    row_ids = lax.broadcasted_iota(jnp.int32, (H, C), 1)
     prune_row = row_ids < (lengths[:, None] - recent_size)  # [H, C]
     mask = jnp.where(prune_row[..., None], keep[:, None, :], True)
     return PackedKV(jnp.where(mask, k, jnp.zeros((), k.dtype)), v, lengths)
