@@ -35,6 +35,11 @@ def add_engine_args(ap: argparse.ArgumentParser) -> None:
     ap.add_argument("--head_beta", type=float, default=1.01)
     ap.add_argument("--recent_size", type=int, default=32)
     ap.add_argument("--pruning_ratio", type=float, default=0.4)
+    ap.add_argument("--think_packed", action="store_true",
+                    help="ThinK: store keys channel-packed (real memory "
+                         "saving, split pruned/dense decode like "
+                         "llama_model_think.py:175-181) instead of zeroing "
+                         "pruned channels in place")
     ap.add_argument("--group_reduce", type=str, default="none",
                     choices=["none", "mean", "max", "sum"])
     ap.add_argument("--quant_method", type=str, default=None,
@@ -69,6 +74,7 @@ def compression_from_args(args) -> CompressionConfig:
         floor_ratio=args.floor,
         recent_size=args.recent_size,
         pruning_ratio=args.pruning_ratio,
+        think_packed=getattr(args, "think_packed", False),
         group_reduce=args.group_reduce,
     )
 

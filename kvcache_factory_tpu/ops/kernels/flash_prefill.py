@@ -76,10 +76,15 @@ def _flash_kernel(S: int, QB: int, KB: int, D: int, G: int, W: int,
         get_k(0, 0).start()
         get_v(0, 0).start()
 
-    q = q_ref[0].astype(jnp.float32)  # [QB, D]
+    # MXU inputs stay in the storage dtype (bf16 on TPU): bf16 x bf16
+    # products are exact under the fp32 accumulation the MXU always does, so
+    # upcasting to fp32 first gains nothing and costs 3-6x the MXU passes.
+    q = q_ref[0]  # [QB, D]
     rows = row0 + lax.broadcasted_iota(jnp.int32, (QB, KB), 0)
 
     def logits_for(blk, kb):
+        # (tried: lax.cond-skipping the mask for interior blocks — the branch
+        # costs more than the VPU select it saves, 95 -> 71 TF/s)
         s = jax.lax.dot_general(q, kb, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32) * scale
         cols = blk * KB + lax.broadcasted_iota(jnp.int32, (QB, KB), 1)
@@ -108,13 +113,13 @@ def _flash_kernel(S: int, QB: int, KB: int, D: int, G: int, W: int,
                 cp_k.start()
                 cp_v.start()
                 cp_k.wait()
-                s = logits_for(blk, k_s[0].astype(jnp.float32))
+                s = logits_for(blk, k_s[0])
                 m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
                 p = jnp.exp(s - m_new)
                 alpha = jnp.exp(m - m_new)
                 l_new = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
                 cp_v.wait()
-                pv = jax.lax.dot_general(p, v_s[0].astype(jnp.float32),
+                pv = jax.lax.dot_general(p.astype(v_s.dtype), v_s[0],
                                          (((1,), (0,)), ((), ())),
                                          preferred_element_type=jnp.float32)
                 return m_new, l_new, pv + acc * alpha
@@ -131,13 +136,13 @@ def _flash_kernel(S: int, QB: int, KB: int, D: int, G: int, W: int,
                 get_v((blk + 1) % 2, blk + 1).start()
 
             get_k(slot, blk).wait()
-            s = logits_for(blk, k_s[slot].astype(jnp.float32))
+            s = logits_for(blk, k_s[slot])
             m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
             p = jnp.exp(s - m_new)
             alpha = jnp.exp(m - m_new)
             l_new = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
             get_v(slot, blk).wait()
-            pv = jax.lax.dot_general(p, v_s[slot].astype(jnp.float32),
+            pv = jax.lax.dot_general(p.astype(v_s.dtype), v_s[slot],
                                      (((1,), (0,)), ((), ())),
                                      preferred_element_type=jnp.float32)
             return m_new, l_new, pv + acc * alpha
@@ -164,7 +169,7 @@ def _flash_kernel(S: int, QB: int, KB: int, D: int, G: int, W: int,
                 cp = get_k(0, blk)
                 cp.start()
                 cp.wait()
-                s = logits_for(blk, k_s[0].astype(jnp.float32))
+                s = logits_for(blk, k_s[0])
                 p = jnp.exp(s - m) * inv_l  # final-normalized window rows
                 colsum = jnp.sum(p, axis=0)  # [KB]
                 cur = scores_ref[0, 0, pl.ds(blk * KB, KB)]
@@ -259,7 +264,8 @@ def flash_prefill_attention(
     v: jnp.ndarray,        # [Hkv, S, D]
     true_len: jnp.ndarray,  # scalar int32
     window: int,
-    q_block: int = 1024,   # swept on v5e at 32k: 1024/1024 -> 65 TF/s
+    q_block: int = 1024,   # swept on v5e at 32k: 1024/1024 -> 103 TF/s
+                           # (bf16 MXU inputs; 2048 q blocks OOM scoped VMEM)
     kv_block: int = 1024,
     interpret: bool = False,
     sparse_pattern: Optional[Tuple[int, int, int]] = None,

@@ -1,0 +1,68 @@
+"""Flash prefill kernel throughput on the real TPU chip.
+
+Timing per CLAUDE.md rules: amortize over in-jit iterations and force a host
+readback; never run concurrently with another TPU process.
+
+Causal attention FLOPs per head ~= 2 * S^2 * D (QK + PV, causal half of
+2 * 2*S^2*D).  Reported TF/s is model FLOPs / wall time.
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from kvcache_factory_tpu.ops.kernels.flash_prefill import flash_prefill_attention
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--seqlens", type=int, nargs="*", default=[16384, 32768])
+    ap.add_argument("--hq", type=int, default=32)
+    ap.add_argument("--hkv", type=int, default=8)
+    ap.add_argument("--d", type=int, default=128)
+    ap.add_argument("--qb", type=int, default=1024)
+    ap.add_argument("--kb", type=int, default=1024)
+    ap.add_argument("--iters", type=int, default=4)
+    ap.add_argument("--window", type=int, default=32)
+    args = ap.parse_args()
+
+    for S in args.seqlens:
+        key = jax.random.PRNGKey(0)
+        kq, kk, kv = jax.random.split(key, 3)
+        q = jax.random.normal(kq, (args.hq, S, args.d), jnp.bfloat16)
+        k = jax.random.normal(kk, (args.hkv, S, args.d), jnp.bfloat16)
+        v = jax.random.normal(kv, (args.hkv, S, args.d), jnp.bfloat16)
+        tl = jnp.asarray(S, jnp.int32)
+
+        @jax.jit
+        def run(q, k, v):
+            def body(i, acc):
+                # chain q through acc so XLA can't hoist the loop-invariant
+                # kernel call out of the loop (acc*0 is not foldable: NaN)
+                qd = q + (acc * 0).astype(q.dtype)
+                out, sc = flash_prefill_attention(
+                    qd, k, v, tl, args.window, q_block=args.qb,
+                    kv_block=args.kb)
+                return acc + out[0, -1, 0].astype(jnp.float32) + sc[0, 0]
+            return lax.fori_loop(0, args.iters, body, jnp.float32(0.0))
+
+        # warm up with the same shapes (compile)
+        float(np.asarray(run(q, k, v)))
+        t0 = time.perf_counter()
+        float(np.asarray(run(q, k, v)))  # host readback forces completion
+        dt = (time.perf_counter() - t0) / args.iters
+        flops = 2.0 * args.hq * S * S * args.d
+        print(f"S={S:6d} QB={args.qb} KB={args.kb}: {dt*1e3:8.1f} ms  "
+              f"{flops/dt/1e12:6.1f} TF/s")
+
+
+if __name__ == "__main__":
+    main()
