@@ -314,6 +314,16 @@ class ShardingConfig:
     dp: int = 1
     tp: int = 1
     ep: int = 1
+    # Multi-host: how many of the ``dp`` ways ride DCN (across hosts) rather
+    # than ICI.  dp has no collectives during inference (independent batch
+    # shards), so it is the axis that belongs on the slow inter-host fabric;
+    # tp/ep collectives (all-reduce per layer) stay inside a slice on ICI.
+    # 1 = single host.  Must divide dp.
+    dcn_dp: int = 1
+
+    def __post_init__(self):
+        if self.dp % self.dcn_dp != 0:
+            raise ValueError("dcn_dp must divide dp")
 
     @property
     def axis_names(self) -> Tuple[str, ...]:

@@ -496,6 +496,8 @@ def decode_step(
         (x, k_all, v_all, lens_all), _ = lax.scan(
             layer_fn_p, carry0,
             (params["layers"], jnp.arange(L, dtype=jnp.int32)))
+        # (tried scan unroll=2: 254 -> 180 tok/s — XLA re-materializes the
+        # carried cache stacks per unrolled pair; keep unroll=1)
         x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
         logits = (x[:, 0] @ params["lm_head"]).astype(jnp.float32)  # [B, V]
         new_cache = KVCache(k=k_all.reshape(L, B, cache_heads, C, D),

@@ -27,11 +27,45 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..config import ModelConfig, ShardingConfig
 
 
+def init_distributed(coordinator_address: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None) -> None:
+    """Multi-host runtime init (SURVEY.md §2.6 to-build: the reference has no
+    distributed backend at all — its multi-GPU story is accelerate layer
+    placement, run_longbench.py:390).  Call once per host process before any
+    device use; no-op when already initialized or single-process with no
+    coordinator given.  With TPU pod environment variables set (GKE/QR), all
+    arguments are auto-detected by jax."""
+    if jax.process_count() > 1:
+        return  # already initialized
+    if coordinator_address is None and num_processes is None:
+        import os
+        if not os.environ.get("COORDINATOR_ADDRESS"):
+            return  # single-host run
+    jax.distributed.initialize(coordinator_address=coordinator_address,
+                               num_processes=num_processes,
+                               process_id=process_id)
+
+
 def make_mesh(cfg: ShardingConfig, devices=None) -> Mesh:
+    """Build the (dp[, ep], tp) mesh.
+
+    Multi-host (``cfg.dcn_dp > 1``): the dp axis is split so its leading
+    ``dcn_dp`` ways cross hosts over DCN and everything else stays inside a
+    slice on ICI — dp needs no collectives during inference, so it is the
+    only axis that belongs on the inter-host fabric
+    (``mesh_utils.create_hybrid_device_mesh``).  Single-process runs (tests,
+    the virtual CPU mesh) fall back to a flat mesh with the same shape."""
     devices = devices if devices is not None else jax.devices()
     n = cfg.dp * cfg.ep * cfg.tp
     assert len(devices) >= n, f"need {n} devices, have {len(devices)}"
     shape = (cfg.dp, cfg.ep, cfg.tp) if cfg.ep > 1 else (cfg.dp, cfg.tp)
+    if cfg.dcn_dp > 1 and jax.process_count() > 1:
+        ici = (cfg.dp // cfg.dcn_dp,) + shape[1:]
+        dcn = (cfg.dcn_dp,) + (1,) * (len(shape) - 1)
+        arr = mesh_utils.create_hybrid_device_mesh(
+            ici, dcn, devices=devices[:n])
+        return Mesh(arr, cfg.axis_names)
     arr = mesh_utils.create_device_mesh(shape, devices=devices[:n])
     return Mesh(arr, cfg.axis_names)
 

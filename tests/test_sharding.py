@@ -123,3 +123,18 @@ def test_ep_sharded_generate_matches_single_device(moe_setup, dp, ep, tp):
         sharded_toks = np.asarray(res.tokens)
 
     np.testing.assert_array_equal(single_toks, sharded_toks)
+
+
+def test_dcn_dp_single_process_fallback(setup):
+    """dcn_dp > 1 on a single-process (virtual CPU) runtime falls back to a
+    flat mesh of the same shape; the axis layout is unchanged, so shardings
+    compile identically (multi-host placement only changes which physical
+    device owns each coordinate)."""
+    mesh = make_mesh(ShardingConfig(dp=4, tp=2, dcn_dp=2))
+    assert mesh.shape == {"dp": 4, "tp": 2}
+
+
+def test_dcn_dp_must_divide_dp():
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        ShardingConfig(dp=4, tp=2, dcn_dp=3)
