@@ -410,12 +410,14 @@ def decode_step(
     dtype = dtype_of(cfg)
     Hq, Hkv, D = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
     C = cache.capacity
+    from ..cache.offload_cache import OffloadedKVCache
     from ..cache.think_cache import ThinKCache
     quantized = isinstance(cache, QuantizedKVCache)
     quantized_tpu = isinstance(cache, QuantKVCacheTPU)
     quantized_tpu4 = isinstance(cache, QuantKVCacheTPU4)
     evicting = isinstance(cache, EvictingKVCache)
     thinkc = isinstance(cache, ThinKCache)
+    offloaded = isinstance(cache, OffloadedKVCache)
     assert (quantized or quantized_tpu or quantized_tpu4) == \
         (quant is not None), \
         "quant config must be passed iff the cache is quantized"
@@ -423,6 +425,8 @@ def decode_step(
         cache_heads = cache.k_codes.shape[2]
     elif thinkc:
         cache_heads = cache.v.shape[2]
+    elif offloaded:
+        cache_heads = cache.hk.shape[2]
     else:
         cache_heads = (cache.qk if quantized else cache.k).shape[2]
     if attn_backend == "auto":
@@ -435,7 +439,7 @@ def decode_step(
         attn_backend = "pallas" if (on_tpu and D % 128 == 0) else "xla"
     use_pallas = (attn_backend == "pallas" and not quantized
                   and not quantized_tpu and not quantized_tpu4 and not evicting
-                  and not thinkc
+                  and not thinkc and not offloaded
                   and D % 128 == 0   # kernel needs lane-aligned head_dim
                   and C % 16 == 0 and C >= 32)  # tile-aligned capacity
 
@@ -649,6 +653,31 @@ def decode_step(
             attn = grouped_attention(q, k_read, v_read, mask)
             lens_all = lax.dynamic_update_index_in_dim(lens_all, lens, li, 0)
             stacks = (qk_a, qv_a, ks_a, kz_a, vs_a, vz_a, lens_all) + ring
+        elif offloaded:
+            # Host-offloaded decode (HF OffloadedCache equivalent,
+            # cache_utils_think.py:507): the immutable prefill KV for layer
+            # ``li`` is fetched host->device inside the step; decode appends
+            # land in the small device ring so the host copy never changes.
+            dk_a, dv_a, lens_all = stacks
+            R = dk_a.shape[3]
+            lens = slice_l(lens_all, li)              # [B, H] total rows
+            plen = slice_l(plen_const, li)            # [B, H] host rows
+            dk_a = dk_a.at[li, bi, hi, lens - plen].set(
+                k.astype(dtype)[:, :, 0], mode="drop")
+            dv_a = dv_a.at[li, bi, hi, lens - plen].set(
+                v.astype(dtype)[:, :, 0], mode="drop")
+            lens = jnp.minimum(lens + 1, plen + R)
+            khl = jax.device_put(slice_l(hk_const, li), dev_shard)  # H2D
+            vhl = jax.device_put(slice_l(hv_const, li), dev_shard)
+            k_full = jnp.concatenate([khl, slice_l(dk_a, li)], axis=2)
+            v_full = jnp.concatenate([vhl, slice_l(dv_a, li)], axis=2)
+            Ch = khl.shape[2]
+            cidx = jnp.arange(Ch + R, dtype=jnp.int32)[None, None]
+            mask = jnp.where(cidx < Ch, cidx < plen[..., None],
+                             cidx - Ch < (lens - plen)[..., None])
+            attn = grouped_attention(q, k_full, v_full, mask[:, :, None, :])
+            lens_all = lax.dynamic_update_index_in_dim(lens_all, lens, li, 0)
+            stacks = (dk_a, dv_a, lens_all)
         elif thinkc:
             # ThinK packed decode (llama_model_think.py:175-181): pruned
             # logits ``q[channels] . kp`` cover prefill rows; rows at or past
@@ -747,7 +776,17 @@ def decode_step(
             stacks = (k_a, v_a, lens_all)
         return (finish_layer(x, attn, lp), stacks), None
 
-    if thinkc:
+    if offloaded:
+        # scan constants: the immutable host-resident KV + fixed prefill
+        # lengths, and a concrete device sharding for the in-jit H2D fetch
+        # (single-device feature: host offload composes with dp/tp by
+        # sharding the host arrays the same way, not yet wired).
+        from jax.sharding import SingleDeviceSharding
+        hk_const, hv_const, plen_const = cache.hk, cache.hv, cache.prefill_len
+        dev_shard = SingleDeviceSharding(jax.devices()[0],
+                                         memory_kind="device")
+        stacks0 = (cache.dk, cache.dv, cache.lengths)
+    elif thinkc:
         stacks0 = (cache.kp, cache.channels, cache.kd, cache.v,
                    cache.boundary, cache.lengths)
     elif evicting:
@@ -767,7 +806,14 @@ def decode_step(
     x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
     logits = (x[:, 0] @ params["lm_head"]).astype(jnp.float32)  # [B, V]
 
-    if thinkc:
+    if offloaded:
+        dk_all, dv_all, len_all = stacks
+        new_cache = OffloadedKVCache(hk=cache.hk, hv=cache.hv,
+                                     dk=dk_all, dv=dv_all,
+                                     prefill_len=cache.prefill_len,
+                                     lengths=len_all,
+                                     positions=cache.positions + 1)
+    elif thinkc:
         kp_all, ch_all, kd_all, v_all, bnd_all, len_all = stacks
         new_cache = ThinKCache(kp=kp_all, channels=ch_all, kd=kd_all,
                                v=v_all, boundary=bnd_all, lengths=len_all,
