@@ -138,3 +138,43 @@ def test_dcn_dp_must_divide_dp():
     import pytest as _pytest
     with _pytest.raises(ValueError):
         ShardingConfig(dp=4, tp=2, dcn_dp=3)
+
+
+def test_70b_tp8_lowers_and_compiles_abstract():
+    """BASELINE config 5: Llama-2-70B geometry tensor-sharded. Weights can't
+    be materialized here (140 GB bf16), but abstract lowering + GSPMD
+    compilation over the virtual 8-way mesh validates every sharding
+    constraint end-to-end (prefill + compression + while-loop decode).
+    Per-shard argument footprint ~16.5 GB => tp=16 on v5e (16 GB HBM) or
+    tp=8 on v5p."""
+    import functools
+    cfg = ModelConfig(
+        model_type="llama", vocab_size=32000, hidden_size=8192,
+        intermediate_size=28672, num_hidden_layers=80,
+        num_attention_heads=64, num_key_value_heads=8, head_dim=128,
+        max_position_embeddings=8192)
+    mesh = make_mesh(ShardingConfig(dp=1, tp=8))
+    specs = param_specs(cfg)
+    abs_params = jax.eval_shape(functools.partial(init_params, cfg),
+                                jax.random.PRNGKey(0))
+
+    def attach(path, s):
+        node = specs
+        for p in path:
+            node = node[p.key]
+        return jax.ShapeDtypeStruct(s.shape, s.dtype,
+                                    sharding=NamedSharding(mesh, node))
+
+    abs_params = jax.tree_util.tree_map_with_path(attach, abs_params)
+    comp = CompressionConfig(method="snapkv", max_capacity_prompt=2048,
+                             window_size=8)
+    gen_cfg = GenerationConfig(max_new_tokens=16)
+    toks = jax.ShapeDtypeStruct((1, 4096), jnp.int32,
+                                sharding=NamedSharding(mesh, P(None, None)))
+    tl = jax.ShapeDtypeStruct((1,), jnp.int32,
+                              sharding=NamedSharding(mesh, P(None)))
+    with mesh:
+        compiled = generate.lower(abs_params, cfg, comp, gen_cfg, toks, tl,
+                                  cache_capacity=2176).compile()
+    per_shard_gb = compiled.memory_analysis().argument_size_in_bytes / 2**30
+    assert 14 < per_shard_gb < 20  # ~140 GB bf16 weights / 8 shards
