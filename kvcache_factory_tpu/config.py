@@ -84,7 +84,10 @@ class ModelConfig:
             rope_theta=cfg.get("rope_theta", 10000.0),
             rope_scaling=_rope_scaling_tuple(cfg.get("rope_scaling")),
             rms_norm_eps=cfg.get("rms_norm_eps", 1e-5),
-            sliding_window=cfg.get("sliding_window"),
+            # Qwen2 carries sliding_window in its config but gates it off by
+            # default (use_sliding_window=False).
+            sliding_window=(cfg.get("sliding_window")
+                            if cfg.get("use_sliding_window", True) else None),
             tie_word_embeddings=cfg.get("tie_word_embeddings", False),
             attention_bias=cfg.get("attention_bias", False),
             mlp_bias=cfg.get("mlp_bias", False),

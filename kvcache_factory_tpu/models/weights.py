@@ -120,6 +120,15 @@ def params_from_state_dict(cfg: ModelConfig, state: Dict[str, Any],
             mats.append(w)
         layers[ours] = jnp.asarray(np.stack(mats), dtype)
 
+    # Fused QKV bias when the checkpoint carries one (Qwen2-family: bias on
+    # q/k/v only, none on o_proj/mlp; Llama attention_bias=True checkpoints
+    # have the same q/k/v bias names).
+    if "model.layers.0.self_attn.q_proj.bias" in state:
+        layers["qkv_bias"] = jnp.asarray(np.stack([
+            np.concatenate([get(f"model.layers.{l}.self_attn.{p}_proj.bias")
+                            for p in ("q", "k", "v")])
+            for l in range(L)]), dtype)
+
     if cfg.is_moe:
         # Mixtral block_sparse_moe: gate (router) [E, h]; per-expert w1
         # (gate), w3 (up), w2 (down) — stacked [L, E, ...] input-major.

@@ -96,6 +96,7 @@ def param_specs(model_cfg: ModelConfig, ep: bool = False) -> Dict[str, Any]:
         "embed": P(None, None),
         "layers": {
             "qkv_proj": P(None, None, "tp"),
+            "qkv_bias": P(None, "tp"),  # present for Qwen2-family checkpoints
             "o_proj": P(None, "tp", None),
             **ffn,
             "input_norm": P(None, None),

@@ -49,6 +49,8 @@ def infer_attention(params, cfg: ModelConfig, tokens: np.ndarray,
         lp = jax.tree.map(lambda a: a[l].astype(jnp.float32), layers)
         h = rms_norm(x, lp["input_norm"], cfg.rms_norm_eps)
         qkv = h @ lp["qkv_proj"]
+        if "qkv_bias" in lp:  # Qwen2-family QKV bias
+            qkv = qkv + lp["qkv_bias"]
         q = _split_heads(qkv[..., :Hq * D], Hq, D)
         k = _split_heads(qkv[..., Hq * D:(Hq + Hkv) * D], Hkv, D)
         v = _split_heads(qkv[..., (Hq + Hkv) * D:], Hkv, D)

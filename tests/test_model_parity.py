@@ -315,3 +315,65 @@ def test_mixtral_snapkv_compression_generates(mixtral_setup):
                    jnp.asarray([S], jnp.int32), cache_capacity=cap + new)
     assert int(res.num_tokens[0]) == new
     assert np.all(np.asarray(res.cache.lengths) == cap + new - 1)
+
+
+def tiny_hf_qwen2(seed=7):
+    from transformers import Qwen2Config, Qwen2ForCausalLM
+    torch.manual_seed(seed)
+    hf_cfg = Qwen2Config(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=3, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=512, rope_theta=10000.0, rms_norm_eps=1e-5,
+        tie_word_embeddings=False)
+    model = Qwen2ForCausalLM(hf_cfg)
+    model.eval()
+    cfg = ModelConfig.from_hf_config(hf_cfg)
+    cfg = type(cfg)(**{**cfg.__dict__, "dtype": "float32"})
+    params = params_from_state_dict(cfg, model.state_dict(), jnp.float32)
+    return model, cfg, params
+
+
+def test_qwen2_prefill_logits_match_hf():
+    """Qwen2 family = Llama + QKV bias (the reference covers only
+    Llama/Mistral; the bias path exercises the fused qkv_bias leaf)."""
+    model, cfg, params = tiny_hf_qwen2()
+    assert cfg.sliding_window is None  # use_sliding_window=False gates it off
+    assert "qkv_bias" in params["layers"]
+    B, S = 2, 40
+    rng = np.random.default_rng(8)
+    toks = rng.integers(0, cfg.vocab_size, size=(B, S))
+    with torch.no_grad():
+        hf_logits = model(torch.tensor(toks)).logits.numpy()
+    res = jl.prefill(params, cfg, FULL, jnp.asarray(toks, jnp.int32),
+                     jnp.asarray([S, S], jnp.int32), cache_capacity=S,
+                     return_all_logits=True)
+    np.testing.assert_allclose(np.asarray(res.all_logits), hf_logits,
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_qwen2_greedy_generation_matches_hf():
+    model, cfg, params = tiny_hf_qwen2(8)
+    S, new = 24, 10
+    rng = np.random.default_rng(9)
+    toks = rng.integers(0, cfg.vocab_size, size=(1, S))
+    with torch.no_grad():
+        hf_out = model.generate(torch.tensor(toks), max_new_tokens=new,
+                                do_sample=False, num_beams=1,
+                                pad_token_id=0, eos_token_id=None)
+    hf_new = hf_out[0, S:].numpy()
+    gen_cfg = GenerationConfig(max_new_tokens=new, eos_token_ids=())
+    res = generate(params, cfg, FULL, gen_cfg, jnp.asarray(toks, jnp.int32),
+                   jnp.asarray([S], jnp.int32), cache_capacity=S + new)
+    np.testing.assert_array_equal(np.asarray(res.tokens)[0], hf_new)
+
+
+def test_qwen2_snapkv_generates():
+    model, cfg, params = tiny_hf_qwen2(9)
+    S, new, cap = 96, 6, 32
+    toks = np.random.default_rng(10).integers(0, cfg.vocab_size, size=(1, S))
+    comp = CompressionConfig(method="snapkv", max_capacity_prompt=cap,
+                             window_size=8)
+    gen_cfg = GenerationConfig(max_new_tokens=new, eos_token_ids=())
+    res = generate(params, cfg, comp, gen_cfg, jnp.asarray(toks, jnp.int32),
+                   jnp.asarray([S], jnp.int32), cache_capacity=cap + new)
+    assert int(res.num_tokens[0]) == new
