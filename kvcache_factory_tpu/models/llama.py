@@ -252,7 +252,7 @@ def prefill(
     # window scores in one kernel (north-star; ops/kernels/flash_prefill.py);
     # score-reusing methods then skip their separate scoring matmul.
     use_flash = (jax.default_backend() in ("tpu", "axon") and D % 128 == 0
-                 and B == 1 and cfg.sliding_window is None
+                 and cfg.sliding_window is None
                  and (comp.method != "fullkv"
                       or comp.sparse_prefill is not None))
     scores_reusable = comp.method in ("snapkv", "pyramidkv", "think",
@@ -273,15 +273,24 @@ def prefill(
         window_scores = None
         if use_flash:
             from ..ops.kernels.flash_prefill import flash_prefill_attention
-            out_h, win_sc = flash_prefill_attention(
-                q[0], k[0], v[0], true_len[0], comp.window_size,
-                sparse_pattern=comp.sparse_prefill)
-            attn = out_h[None]
+            # One kernel call per example (B is small in eval/serving
+            # prefill; the per-example true_len rides scalar prefetch, which
+            # cannot be vmapped, and unrolled calls keep the chip saturated
+            # back-to-back).
+            outs, scs = [], []
+            for b in range(B):
+                out_h, win_sc = flash_prefill_attention(
+                    q[b], k[b], v[b], true_len[b], comp.window_size,
+                    sparse_pattern=comp.sparse_prefill)
+                outs.append(out_h)
+                scs.append(win_sc)
+            attn = jnp.stack(outs)
             if scores_reusable:
-                cols = lax.broadcasted_iota(jnp.int32, win_sc.shape, 1)
-                win_sc = jnp.where(cols >= true_len[0] - comp.window_size,
-                                   SCORE_NEG_INF, win_sc)
-                window_scores = win_sc[None]  # [B=1, Hq, S]
+                win_sc = jnp.stack(scs)  # [B, Hq, S]
+                cols = lax.broadcasted_iota(jnp.int32, win_sc.shape, 2)
+                window_scores = jnp.where(
+                    cols >= (true_len[:, None, None] - comp.window_size),
+                    SCORE_NEG_INF, win_sc)
         else:
             # Blocked attention: O(q_block * S) memory, exact math — the
             # prompt attends over its FULL uncompressed K/V
