@@ -84,10 +84,7 @@ class ModelConfig:
             rope_theta=cfg.get("rope_theta", 10000.0),
             rope_scaling=_rope_scaling_tuple(cfg.get("rope_scaling")),
             rms_norm_eps=cfg.get("rms_norm_eps", 1e-5),
-            # Qwen2 carries sliding_window in its config but gates it off by
-            # default (use_sliding_window=False).
-            sliding_window=(cfg.get("sliding_window")
-                            if cfg.get("use_sliding_window", True) else None),
+            sliding_window=_resolve_sliding_window(cfg),
             tie_word_embeddings=cfg.get("tie_word_embeddings", False),
             attention_bias=cfg.get("attention_bias", False),
             mlp_bias=cfg.get("mlp_bias", False),
@@ -99,6 +96,36 @@ class ModelConfig:
     def from_json(path: str) -> "ModelConfig":
         with open(path) as f:
             return ModelConfig.from_hf_config(json.load(f))
+
+
+def _resolve_sliding_window(cfg: dict):
+    """HF sliding-window semantics, resolved to this repo's single global
+    window.  Mistral: plain ``sliding_window`` on every layer.  Qwen2: gated
+    by ``use_sliding_window`` (default False in HF) and applied only to
+    layers >= ``max_window_layers`` / per ``layer_types`` — uniform-full and
+    uniform-sliding resolve here; genuinely mixed layer types are rejected
+    loudly rather than silently mis-windowed."""
+    sw = cfg.get("sliding_window")
+    if sw is None:
+        return None
+    if "use_sliding_window" in cfg and not cfg["use_sliding_window"]:
+        return None  # Qwen2 default: window configured but gated off
+    lt = cfg.get("layer_types")
+    if lt:
+        kinds = set(lt)
+        if kinds == {"full_attention"}:
+            return None
+        if kinds != {"sliding_attention"}:
+            raise NotImplementedError(
+                "mixed full/sliding attention layer_types not supported")
+        return sw
+    mwl = cfg.get("max_window_layers")
+    if cfg.get("use_sliding_window") and mwl:
+        if mwl >= cfg["num_hidden_layers"]:
+            return None  # the first mwl layers are full attention: all of them
+        raise NotImplementedError(
+            "per-layer sliding window (max_window_layers) not supported")
+    return sw
 
 
 def _rope_scaling_tuple(rs):

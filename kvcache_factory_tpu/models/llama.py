@@ -131,11 +131,15 @@ def grouped_attention(
 
 
 def swiglu_fused(x: jnp.ndarray, gate_up_w: jnp.ndarray,
-                 down_w: jnp.ndarray) -> jnp.ndarray:
+                 down_w: jnp.ndarray, gate_up_b=None,
+                 down_b=None) -> jnp.ndarray:
     gu = x @ gate_up_w
+    if gate_up_b is not None:  # mlp_bias=True checkpoints
+        gu = gu + gate_up_b
     ffn = gate_up_w.shape[-1] // 2
     g = jax.nn.silu(gu[..., :ffn])
-    return (g * gu[..., ffn:]) @ down_w
+    out = (g * gu[..., ffn:]) @ down_w
+    return out if down_b is None else out + down_b
 
 
 def moe_router(x: jnp.ndarray, router_w: jnp.ndarray, top_k: int):
@@ -189,7 +193,8 @@ def moe_ffn(x: jnp.ndarray, lp: dict, cfg: ModelConfig) -> jnp.ndarray:
 def ffn_block(h2: jnp.ndarray, lp: dict, cfg: ModelConfig) -> jnp.ndarray:
     if cfg.is_moe:
         return moe_ffn(h2, lp, cfg)
-    return swiglu_fused(h2, lp["gate_up_proj"], lp["down_proj"])
+    return swiglu_fused(h2, lp["gate_up_proj"], lp["down_proj"],
+                        lp.get("gate_up_bias"), lp.get("down_bias"))
 
 
 # ---------------------------------------------------------------------------
@@ -298,6 +303,8 @@ def prefill(
             attn = blocked_causal_attention(q, k, v, true_len,
                                             cfg.sliding_window)
         h = _merge_heads(attn) @ lp["o_proj"]
+        if "o_bias" in lp:  # attention_bias=True checkpoints
+            h = h + lp["o_bias"]
         x = x + h
         h2 = rms_norm(x, lp["post_norm"], cfg.rms_norm_eps)
         x = x + ffn_block(h2, lp, cfg)
@@ -312,11 +319,12 @@ def prefill(
         k_layer = jnp.pad(packed.k, ((0, 0), (0, 0), (0, pad), (0, 0))).astype(dtype)
         v_layer = jnp.pad(packed.v, ((0, 0), (0, 0), (0, pad), (0, 0))).astype(dtype)
         if think_packed:
-            from ..policies.think import think_channel_keep_idx
+            from ..policies.think import (aggregate_queries_per_kv_head,
+                                          think_channel_keep_idx)
             if cache_heads == Hq:
                 q_for = q
             else:  # saliency aggregated per kv head (grouped cache)
-                q_for = jnp.mean(q.reshape(B, Hkv, Hq // Hkv, S, D), axis=2)
+                q_for = aggregate_queries_per_kv_head(q, Hkv)
             channels = jax.vmap(think_channel_keep_idx,
                                 in_axes=(0, 0, 0, 0, None))(
                 packed.k, packed.lengths, q_for, true_len,
@@ -480,6 +488,8 @@ def decode_step(
 
     def finish_layer(x, attn, lp):
         h = _merge_heads(attn) @ lp["o_proj"]
+        if "o_bias" in lp:  # attention_bias=True checkpoints
+            h = h + lp["o_bias"]
         x = x + h
         h2 = rms_norm(x, lp["post_norm"], cfg.rms_norm_eps)
         return x + ffn_block(h2, lp, cfg)

@@ -120,14 +120,22 @@ def params_from_state_dict(cfg: ModelConfig, state: Dict[str, Any],
             mats.append(w)
         layers[ours] = jnp.asarray(np.stack(mats), dtype)
 
-    # Fused QKV bias when the checkpoint carries one (Qwen2-family: bias on
-    # q/k/v only, none on o_proj/mlp; Llama attention_bias=True checkpoints
-    # have the same q/k/v bias names).
-    if "model.layers.0.self_attn.q_proj.bias" in state:
-        layers["qkv_bias"] = jnp.asarray(np.stack([
-            np.concatenate([get(f"model.layers.{l}.self_attn.{p}_proj.bias")
-                            for p in ("q", "k", "v")])
-            for l in range(L)]), dtype)
+    # Optional biases, detected from the checkpoint: Qwen2-family carries
+    # q/k/v biases only; Llama attention_bias=True adds o_proj.bias too;
+    # mlp_bias=True adds gate/up/down biases.  Fused to match the fused
+    # matmuls.
+    bias_map = {
+        "qkv_bias": ("self_attn.q_proj.bias", "self_attn.k_proj.bias",
+                     "self_attn.v_proj.bias"),
+        "o_bias": ("self_attn.o_proj.bias",),
+        "gate_up_bias": ("mlp.gate_proj.bias", "mlp.up_proj.bias"),
+        "down_bias": ("mlp.down_proj.bias",),
+    }
+    for ours, theirs in bias_map.items():
+        if f"model.layers.0.{theirs[0]}" in state:
+            layers[ours] = jnp.asarray(np.stack([
+                np.concatenate([get(f"model.layers.{l}.{t}") for t in theirs])
+                for l in range(L)]), dtype)
 
     if cfg.is_moe:
         # Mixtral block_sparse_moe: gate (router) [E, h]; per-expert w1

@@ -264,7 +264,7 @@ def flash_prefill_attention(
     v: jnp.ndarray,        # [Hkv, S, D]
     true_len: jnp.ndarray,  # scalar int32
     window: int,
-    q_block: int = 1024,   # swept on v5e at 32k: 1024/1024 -> 103 TF/s
+    q_block: int = 1024,   # swept on v5e at 32k: 1024/1024 -> 109-111 TF/s
                            # (bf16 MXU inputs; 2048 q blocks OOM scoped VMEM)
     kv_block: int = 1024,
     interpret: bool = False,

@@ -36,12 +36,19 @@ def init_distributed(coordinator_address: Optional[str] = None,
     device use; no-op when already initialized or single-process with no
     coordinator given.  With TPU pod environment variables set (GKE/QR), all
     arguments are auto-detected by jax."""
-    if jax.process_count() > 1:
+    import os
+
+    from jax._src import distributed as _distributed
+    if _distributed.global_state.client is not None:
         return  # already initialized
-    if coordinator_address is None and num_processes is None:
-        import os
-        if not os.environ.get("COORDINATOR_ADDRESS"):
-            return  # single-host run
+    # NOTE: do NOT probe jax.process_count()/jax.devices() here — touching
+    # the backends initializes them, after which jax.distributed.initialize
+    # raises ("must be called before any JAX computations are executed").
+    auto_env = any(os.environ.get(v) for v in (
+        "COORDINATOR_ADDRESS", "JAX_COORDINATOR_ADDRESS",
+        "MEGASCALE_COORDINATOR_ADDRESS", "TPU_WORKER_HOSTNAMES"))
+    if coordinator_address is None and num_processes is None and not auto_env:
+        return  # single-host run
     jax.distributed.initialize(coordinator_address=coordinator_address,
                                num_processes=num_processes,
                                process_id=process_id)
@@ -96,7 +103,13 @@ def param_specs(model_cfg: ModelConfig, ep: bool = False) -> Dict[str, Any]:
         "embed": P(None, None),
         "layers": {
             "qkv_proj": P(None, None, "tp"),
-            "qkv_bias": P(None, "tp"),  # present for Qwen2-family checkpoints
+            # Optional bias leaves (Qwen2 qkv; Llama attention_bias/mlp_bias):
+            # column-parallel biases split with their matmul outputs;
+            # row-parallel outputs get replicated biases added post-reduce.
+            "qkv_bias": P(None, "tp"),
+            "o_bias": P(None, None),
+            "gate_up_bias": P(None, "tp"),
+            "down_bias": P(None, None),
             "o_proj": P(None, "tp", None),
             **ffn,
             "input_norm": P(None, None),

@@ -86,9 +86,14 @@ def pipeline_forward(
             q = apply_rope(q, cos, sin)
             k = apply_rope(k, cos, sin)
             attn = grouped_attention(q, k, v, mask)
-            x = x + _merge_heads(attn) @ lp["o_proj"]
+            h = _merge_heads(attn) @ lp["o_proj"]
+            if "o_bias" in lp:
+                h = h + lp["o_bias"]
+            x = x + h
             h2 = rms_norm(x, lp["post_norm"], cfg.rms_norm_eps)
-            return x + swiglu_fused(h2, lp["gate_up_proj"], lp["down_proj"]), None
+            return x + swiglu_fused(h2, lp["gate_up_proj"], lp["down_proj"],
+                                    lp.get("gate_up_bias"),
+                                    lp.get("down_bias")), None
         x, _ = lax.scan(layer_fn, x, layers)
         return x
 

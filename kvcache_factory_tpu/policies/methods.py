@@ -229,11 +229,11 @@ def compress_layer(
     if method == "think" and not cfg.think_packed:
         # think_packed leaves the packed keys UNPRUNED here; the model builds
         # a channel-packed ThinKCache from them (cache/think_cache.py).
-        q_for_prune = q if per_query_cache else q  # saliency is per query head
+        q_for_prune = q
         if not per_query_cache:
             # aggregate query stats per kv head for the grouped cache
-            qn = q.reshape(Hkv, groups, S, D)
-            q_for_prune = jnp.mean(qn, axis=1)
+            from .think import aggregate_queries_per_kv_head
+            q_for_prune = aggregate_queries_per_kv_head(q, Hkv)
         packed = jax.lax.cond(
             no_compress, lambda p: p,
             lambda p: think_prune_channels(p, q_for_prune, true_len,

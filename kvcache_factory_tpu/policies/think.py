@@ -35,9 +35,17 @@ def think_saliency(
     """Per-head channel saliency ``mean(q[-32:]**2) * mean(k**2)`` over valid
     rows (key_pruner_query_driven, pyramidkv_utils.py:17-21). [H, D] fp32."""
     H, C, D = k.shape
-    q_win = lax.dynamic_slice_in_dim(q, jnp.maximum(true_len - _QUERY_WINDOW, 0),
-                                     _QUERY_WINDOW, axis=1)
-    queries_norm = jnp.mean(jnp.square(q_win.astype(jnp.float32)), axis=1)  # [H, D]
+    S = q.shape[1]
+    # Reference q[..., -32:, :] takes min(32, S) rows; padding rows past
+    # true_len must not contaminate the mean (torch has no padding).
+    w = min(_QUERY_WINDOW, S)
+    start = jnp.clip(true_len - w, 0, S - w)
+    q_win = lax.dynamic_slice_in_dim(q, start, w, axis=1)  # [H, w, D]
+    q_rows = start + jnp.arange(w)
+    q_valid = (q_rows < true_len).astype(jnp.float32)[None, :, None]
+    qf = jnp.square(q_win.astype(jnp.float32)) * q_valid
+    queries_norm = jnp.sum(qf, axis=1) / jnp.maximum(
+        jnp.sum(q_valid, axis=1), 1.0)  # [H, D]
 
     row_ids = lax.broadcasted_iota(jnp.int32, (H, C), 1)
     row_valid = (row_ids < lengths[:, None]).astype(jnp.float32)  # [H, C]
@@ -45,6 +53,15 @@ def think_saliency(
     keys_norm = jnp.sum(kf, axis=1) / jnp.maximum(
         jnp.sum(row_valid, axis=1, keepdims=True), 1.0)  # [H, D]
     return queries_norm * keys_norm
+
+
+def aggregate_queries_per_kv_head(q: jnp.ndarray, n_kv_heads: int) -> jnp.ndarray:
+    """Mean-pool query heads onto their kv head for saliency when the cache
+    is grouped ([..., Hq, S, D] -> [..., Hkv, S, D]); shared by the in-place
+    and packed ThinK paths so the aggregation rule can't diverge."""
+    *lead, Hq, S, D = q.shape
+    groups = Hq // n_kv_heads
+    return jnp.mean(q.reshape(*lead, n_kv_heads, groups, S, D), axis=-3)
 
 
 def think_channel_keep_idx(

@@ -67,9 +67,13 @@ def infer_attention(params, cfg: ModelConfig, tokens: np.ndarray,
 
         out = jnp.einsum("bhgqk,bhkd->bhgqd", probs, v,
                          preferred_element_type=jnp.float32)
-        x = x + _merge_heads(out.reshape(B, Hq, S, D)) @ lp["o_proj"]
+        h = _merge_heads(out.reshape(B, Hq, S, D)) @ lp["o_proj"]
+        if "o_bias" in lp:
+            h = h + lp["o_bias"]
+        x = x + h
         h2 = rms_norm(x, lp["post_norm"], cfg.rms_norm_eps)
-        x = x + swiglu_fused(h2, lp["gate_up_proj"], lp["down_proj"])
+        x = x + swiglu_fused(h2, lp["gate_up_proj"], lp["down_proj"],
+                             lp.get("gate_up_bias"), lp.get("down_bias"))
     return maps
 
 

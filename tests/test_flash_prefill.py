@@ -171,3 +171,42 @@ def test_minference_method_generates():
     # full KV retained -> on the XLA (CPU) path minference == fullkv exactly
     np.testing.assert_array_equal(np.asarray(res.tokens), np.asarray(ref.tokens))
     assert np.all(np.asarray(res.cache.lengths) == S + new - 1)
+
+
+def test_flash_prefill_bf16_inputs_match_fp32_oracle():
+    """The TPU path runs the MXU dots on bf16 inputs and rounds the fp32
+    softmax probabilities to bf16 for the PV product (standard flash
+    practice).  Exercise that exact dtype path in interpret mode against the
+    fp32 oracle: errors must stay at the bf16-input noise floor."""
+    Hq, Hkv, S, tl, W = 4, 2, 256, 220, 16
+    rng = np.random.default_rng(5)
+    q = rng.normal(size=(Hq, S, D)).astype(np.float32)
+    k = rng.normal(size=(Hkv, S, D)).astype(np.float32)
+    v = rng.normal(size=(Hkv, S, D)).astype(np.float32)
+    qb = jnp.asarray(q, jnp.bfloat16)
+    kb = jnp.asarray(k, jnp.bfloat16)
+    vb = jnp.asarray(v, jnp.bfloat16)
+
+    out, scores = flash_prefill_attention(
+        qb, kb, vb, jnp.asarray(tl, jnp.int32), window=W,
+        q_block=128, kv_block=128, interpret=True)
+    assert out.dtype == jnp.bfloat16
+
+    # oracle on the same bf16-rounded values, fp32 math throughout
+    kg = np.repeat(np.asarray(kb, np.float32), Hq // Hkv, axis=0)
+    vg = np.repeat(np.asarray(vb, np.float32), Hq // Hkv, axis=0)
+    exp = ref_causal_attention(np.asarray(qb, np.float32), kg, vg, tl)
+    rows_valid = np.arange(S) < tl
+    err = np.abs(np.asarray(out, np.float32)[:, rows_valid]
+                 - exp[:, rows_valid])
+    # |out| <= max|v| ~ 4; one bf16 ulp at that scale is ~0.03
+    assert err.max() < 0.05, err.max()
+
+    # scores come out fp32 and are NOT rounded through bf16 (no PV product)
+    exp_scores = np.asarray(window_attention_scores(
+        jnp.asarray(kg), jnp.asarray(np.asarray(qb, np.float32)),
+        jnp.asarray(tl, jnp.int32), W))
+    got = np.asarray(scores)
+    m = np.isfinite(exp_scores) & (np.arange(S)[None] < tl - W)
+    rel = np.abs(exp_scores[m] - got[m]) / (np.abs(exp_scores[m]) + 1e-6)
+    assert rel.max() < 5e-3, rel.max()

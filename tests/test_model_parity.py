@@ -377,3 +377,77 @@ def test_qwen2_snapkv_generates():
     res = generate(params, cfg, comp, gen_cfg, jnp.asarray(toks, jnp.int32),
                    jnp.asarray([S], jnp.int32), cache_capacity=cap + new)
     assert int(res.num_tokens[0]) == new
+
+
+def test_llama_attention_and_mlp_bias_match_hf():
+    """attention_bias=True adds q/k/v/o biases and mlp_bias=True adds
+    gate/up/down biases in HF Llama — all six must be loaded and applied
+    (o/down biases are added after their row-parallel matmuls)."""
+    from transformers import LlamaConfig, LlamaForCausalLM
+    torch.manual_seed(11)
+    hf_cfg = LlamaConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=3, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=512, tie_word_embeddings=False,
+        attention_bias=True, mlp_bias=True)
+    model = LlamaForCausalLM(hf_cfg)
+    model.eval()
+    # HF initializes biases to zero — randomize so the test has teeth
+    with torch.no_grad():
+        for name, p in model.named_parameters():
+            if name.endswith(".bias"):
+                p.normal_(0.0, 0.5)
+    cfg = ModelConfig.from_hf_config(hf_cfg)
+    cfg = type(cfg)(**{**cfg.__dict__, "dtype": "float32"})
+    params = params_from_state_dict(cfg, model.state_dict(), jnp.float32)
+    for leaf in ("qkv_bias", "o_bias", "gate_up_bias", "down_bias"):
+        assert leaf in params["layers"], leaf
+
+    B, S = 2, 40
+    toks = np.random.default_rng(12).integers(0, cfg.vocab_size, size=(B, S))
+    with torch.no_grad():
+        hf_logits = model(torch.tensor(toks)).logits.numpy()
+    res = jl.prefill(params, cfg, FULL, jnp.asarray(toks, jnp.int32),
+                     jnp.asarray([S, S], jnp.int32), cache_capacity=S,
+                     return_all_logits=True)
+    np.testing.assert_allclose(np.asarray(res.all_logits), hf_logits,
+                               rtol=2e-4, atol=2e-4)
+    # decode path applies the same biases
+    new = 8
+    with torch.no_grad():
+        hf_out = model.generate(torch.tensor(toks[:1]), max_new_tokens=new,
+                                do_sample=False, num_beams=1,
+                                pad_token_id=0, eos_token_id=None)
+    gen_cfg = GenerationConfig(max_new_tokens=new, eos_token_ids=())
+    gres = generate(params, cfg, FULL, gen_cfg,
+                    jnp.asarray(toks[:1], jnp.int32),
+                    jnp.asarray([S], jnp.int32), cache_capacity=S + new)
+    np.testing.assert_array_equal(np.asarray(gres.tokens)[0],
+                                  hf_out[0, S:].numpy())
+
+
+def test_qwen2_sliding_window_config_semantics():
+    """HF Qwen2 applies its window only to layers >= max_window_layers; a
+    uniform-full config resolves to no window, a genuinely mixed one is
+    rejected loudly instead of silently mis-windowing every layer."""
+    base = dict(model_type="qwen2", vocab_size=128, hidden_size=64,
+                intermediate_size=128, num_hidden_layers=4,
+                num_attention_heads=4, sliding_window=1024)
+    # gated off (HF default)
+    assert ModelConfig.from_hf_config(
+        {**base, "use_sliding_window": False}).sliding_window is None
+    # window active but first max_window_layers >= L layers are full -> none
+    assert ModelConfig.from_hf_config(
+        {**base, "use_sliding_window": True,
+         "max_window_layers": 4}).sliding_window is None
+    # mixed full/sliding layers: refuse
+    with pytest.raises(NotImplementedError):
+        ModelConfig.from_hf_config({**base, "use_sliding_window": True,
+                                    "max_window_layers": 2})
+    with pytest.raises(NotImplementedError):
+        ModelConfig.from_hf_config(
+            {**base, "layer_types": ["full_attention", "sliding_attention",
+                                     "sliding_attention", "sliding_attention"]})
+    # uniform sliding layer_types keeps the window (Mistral-like)
+    assert ModelConfig.from_hf_config(
+        {**base, "layer_types": ["sliding_attention"] * 4}).sliding_window == 1024

@@ -115,3 +115,29 @@ def test_think_packed_padding_invariant(setup):
     np.testing.assert_allclose(np.asarray(exact.logits_last),
                                np.asarray(padded.logits_last),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_think_packed_short_prompt_divergence_documented(setup):
+    """Pinned behavior (config.py think_packed docstring): in-place think
+    honors the no-compress carve-out for prompts under the budget (keys stay
+    fully dense), while packed mode always prunes rows older than
+    recent_size — the modes legitimately diverge there.  This test pins that
+    the divergence is the documented one, not an accident: the packed cache
+    still prunes, the in-place cache stays dense."""
+    _, cfg, params = setup
+    S = CAP - 8  # under budget -> no-compress branch in-place
+    toks = np.random.default_rng(4).integers(0, cfg.vocab_size, size=(1, S))
+    results = {}
+    for packed in (False, True):
+        results[packed] = jl.prefill(params, cfg, think_cfg(packed),
+                                     jnp.asarray(toks, jnp.int32),
+                                     jnp.asarray([S], jnp.int32),
+                                     cache_capacity=CAP + 4)
+    plain_k = np.asarray(results[False].cache.k)
+    # in-place mode: no channel is zeroed anywhere (no-compress carve-out)
+    assert not np.any(np.all(plain_k[..., :S, :] == 0, axis=-2))
+    cache = results[True].cache
+    assert isinstance(cache, ThinKCache)
+    # packed mode prunes unconditionally: rows < boundary read Dk channels
+    assert cache.kept_dim < cfg.head_dim
+    assert np.all(np.asarray(cache.boundary) == max(S - RECENT, 0))

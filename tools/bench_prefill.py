@@ -30,7 +30,9 @@ def main():
     ap.add_argument("--d", type=int, default=128)
     ap.add_argument("--qb", type=int, default=1024)
     ap.add_argument("--kb", type=int, default=1024)
-    ap.add_argument("--iters", type=int, default=4)
+    ap.add_argument("--iters", type=int, default=32,
+                    help="in-jit iterations; at >=100 ms/kernel this keeps "
+                         "the ~25-40 ms tunnel dispatch under 1% of the run")
     ap.add_argument("--window", type=int, default=32)
     args = ap.parse_args()
 
