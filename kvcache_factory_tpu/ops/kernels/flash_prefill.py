@@ -44,10 +44,10 @@ def _flash_kernel(S: int, QB: int, KB: int, D: int, G: int, W: int,
     if use_mask:
         # scalar prefetch: tl [1], block mask [Hq, n_qb, n_kvb] int32
         (tl_ref, mask_ref, q_ref, k_hbm, v_hbm, o_ref, scores_ref,
-         k_s, v_s, sems) = refs
+         k_s, v_s, s_buf, sems) = refs
     else:
         (tl_ref, q_ref, k_hbm, v_hbm, o_ref, scores_ref,
-         k_s, v_s, sems) = refs
+         k_s, v_s, s_buf, sems) = refs
         mask_ref = None
     hq = pl.program_id(0)
     qb = pl.program_id(1)
@@ -66,29 +66,44 @@ def _flash_kernel(S: int, QB: int, KB: int, D: int, G: int, W: int,
 
     def get_k(slot, blk):
         return pltpu.make_async_copy(
-            k_hbm.at[hkv, pl.ds(blk * KB, KB), :], k_s.at[slot], sems.at[0])
+            k_hbm.at[hkv, pl.ds(blk * KB, KB), :], k_s.at[slot],
+            sems.at[slot, 0])
 
     def get_v(slot, blk):
         return pltpu.make_async_copy(
-            v_hbm.at[hkv, pl.ds(blk * KB, KB), :], v_s.at[slot], sems.at[1])
+            v_hbm.at[hkv, pl.ds(blk * KB, KB), :], v_s.at[slot],
+            sems.at[slot, 1])
 
-    if not sparse:  # dense path double-buffers; sparse DMAs inline per block
+    if not sparse:  # dense path triple-buffers; sparse DMAs inline per block
         get_k(0, 0).start()
         get_v(0, 0).start()
+
+        @pl.when(kv_hi > 1)
+        def _():
+            get_k(1, 1).start()
+            get_v(1, 1).start()
 
     # MXU inputs stay in the storage dtype (bf16 on TPU): bf16 x bf16
     # products are exact under the fp32 accumulation the MXU always does, so
     # upcasting to fp32 first gains nothing and costs 3-6x the MXU passes.
     q = q_ref[0]  # [QB, D]
+    # Hoisted mask state: col > row (causal) OR col >= true_len collapses to
+    # col > min(row, true_len - 1); the min and both iotas live outside the
+    # KV loop so the per-block mask is one add + one compare + one select.
+    # (tried: lax.cond-skipping the mask for interior blocks — the branch
+    # costs more than the VPU select it saves, 95 -> 71 TF/s; also tried
+    # splitting the fori_loop into nomask-interior + masked-boundary loops —
+    # the dynamic loop boundary breaks Mosaic's pipelining, 111 -> 108 TF/s)
     rows = row0 + lax.broadcasted_iota(jnp.int32, (QB, KB), 0)
+    row_lim = jnp.minimum(rows, true_len - 1)
+    col_base = lax.broadcasted_iota(jnp.int32, (QB, KB), 1)
 
     def logits_for(blk, kb):
-        # (tried: lax.cond-skipping the mask for interior blocks — the branch
-        # costs more than the VPU select it saves, 95 -> 71 TF/s)
+        # (tried: raw logits with 1/sqrt(D) folded into the fold-step exp —
+        # the extra [QB, KB] fp32 temp blew the 16 MB scoped-VMEM budget)
         s = jax.lax.dot_general(q, kb, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32) * scale
-        cols = blk * KB + lax.broadcasted_iota(jnp.int32, (QB, KB), 1)
-        bad = (cols > rows) | (cols >= true_len)
+        bad = (blk * KB + col_base) > row_lim
         return jnp.where(bad, NEG_INF, s)
 
     diag_blk = kv_hi - 1
@@ -125,32 +140,52 @@ def _flash_kernel(S: int, QB: int, KB: int, D: int, G: int, W: int,
                 return m_new, l_new, pv + acc * alpha
 
             return lax.cond(block_selected(blk), compute, lambda c: c, carry)
-    else:
-        def body(blk, carry):
-            m, l, acc = carry
-            slot = blk % 2
-
-            @pl.when(blk + 1 < kv_hi)
-            def _():
-                get_k((blk + 1) % 2, blk + 1).start()
-                get_v((blk + 1) % 2, blk + 1).start()
-
-            get_k(slot, blk).wait()
-            s = logits_for(blk, k_s[slot])
-            m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
-            p = jnp.exp(s - m_new)
-            alpha = jnp.exp(m - m_new)
-            l_new = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
-            get_v(slot, blk).wait()
-            pv = jax.lax.dot_general(p.astype(v_s.dtype), v_s[slot],
-                                     (((1,), (0,)), ((), ())),
-                                     preferred_element_type=jnp.float32)
-            return m_new, l_new, pv + acc * alpha
+    def fold(m, l, acc, s_prev, v_blk):
+        """Online-softmax fold of one block's logits + its PV matmul."""
+        m_new = jnp.maximum(m, jnp.max(s_prev, axis=-1, keepdims=True))
+        p = jnp.exp(s_prev - m_new)
+        alpha = jnp.exp(m - m_new)
+        l_new = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        pv = jax.lax.dot_general(p.astype(v_blk.dtype), v_blk,
+                                 (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        return m_new, l_new, pv + acc * alpha
 
     m0 = jnp.full((QB, 1), NEG_INF, jnp.float32)
     l0 = jnp.zeros((QB, 1), jnp.float32)
     acc0 = jnp.zeros((QB, D), jnp.float32)
-    m, l, acc = lax.fori_loop(0, kv_hi, body, (m0, l0, acc0))
+    if sparse:
+        m, l, acc = lax.fori_loop(0, kv_hi, body, (m0, l0, acc0))
+    else:
+        # Software-pipelined: block blk-1's logits live in a persistent VMEM
+        # ping-pong scratch (s_buf) so that iteration blk's QK matmul (MXU)
+        # has no data dependence on the softmax fold of the previous block
+        # (VPU) and the two can overlap — the naive fused body is one serial
+        # MXU->VPU->MXU chain.  A fori_loop *carry* for the logits forces a
+        # multi-MB copy per iteration (measured 106 -> 89 TF/s); the scratch
+        # write/read is in place.
+        get_k(0, 0).wait()
+        s_buf[0] = logits_for(0, k_s[0])
+
+        def body(blk, carry):
+            m, l, acc = carry
+
+            @pl.when(blk + 1 < kv_hi)
+            def _():
+                get_k((blk + 1) % 3, blk + 1).start()
+                get_v((blk + 1) % 3, blk + 1).start()
+
+            get_k(blk % 3, blk).wait()
+            s_buf[blk % 2] = logits_for(blk, k_s[blk % 3])
+            get_v((blk - 1) % 3, blk - 1).wait()
+            m, l, acc = fold(m, l, acc, s_buf[(blk - 1) % 2],
+                             v_s[(blk - 1) % 3])
+            return m, l, acc
+
+        m, l, acc = lax.fori_loop(1, kv_hi, body, (m0, l0, acc0))
+        get_v((kv_hi - 1) % 3, kv_hi - 1).wait()
+        m, l, acc = fold(m, l, acc, s_buf[(kv_hi - 1) % 2],
+                         v_s[(kv_hi - 1) % 3])
 
     l_safe = jnp.where(l == 0.0, 1.0, l)
     o_ref[0] = (acc / l_safe).astype(o_ref.dtype)
@@ -264,9 +299,8 @@ def flash_prefill_attention(
     v: jnp.ndarray,        # [Hkv, S, D]
     true_len: jnp.ndarray,  # scalar int32
     window: int,
-    q_block: int = 1024,   # swept on v5e at 32k: 1024/1024 -> 109-111 TF/s
-                           # (bf16 MXU inputs; 2048 q blocks OOM scoped VMEM)
-    kv_block: int = 1024,
+    q_block: Optional[int] = None,  # None = adaptive (see sweep below)
+    kv_block: Optional[int] = None,
     interpret: bool = False,
     sparse_pattern: Optional[Tuple[int, int, int]] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -281,6 +315,13 @@ def flash_prefill_attention(
     Hkv = k.shape[0]
     G = Hq // Hkv
     assert D % 128 == 0, "flash prefill requires lane-aligned head_dim"
+    # v5e sweep (s_buf-pipelined kernel, vmem_limit raised past the 16 MB
+    # default): 32k/64k want 2048x2048 blocks (121/131 TF/s); at <=16k the
+    # shorter KV runs favor 1024x1024 (4k 51, 8k 81, 16k 102 TF/s).
+    if q_block is None:
+        q_block = 1024 if S <= 16384 else 2048
+    if kv_block is None:
+        kv_block = q_block
     QB = min(q_block, S)
     KB = min(kv_block, S)
     S_pad = max(_round_up(S, QB), _round_up(S, KB))
@@ -336,9 +377,10 @@ def flash_prefill_attention(
             pl.BlockSpec((1, 1, S_pad), blk_s, memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, KB, D), k.dtype),
-            pltpu.VMEM((2, KB, D), v.dtype),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((3, KB, D), k.dtype),
+            pltpu.VMEM((3, KB, D), v.dtype),
+            pltpu.VMEM((2, QB, KB), jnp.float32),
+            pltpu.SemaphoreType.DMA((3, 2)),
         ],
     )
 
@@ -349,6 +391,12 @@ def flash_prefill_attention(
             jax.ShapeDtypeStruct((Hq, S_pad, D), q.dtype),
             jax.ShapeDtypeStruct((Hq, 1, S_pad), jnp.float32),
         ],
+        # The default scoped-VMEM limit is 16 MB (a compiler default, not the
+        # hardware: v5e has ~128 MB of physical VMEM); the s_buf pipeline +
+        # triple-buffered KV chunks sit right at that edge, and larger block
+        # configs beat the 16 MB-constrained sweep optimum.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(*scalar_args, q, k, v)
 
