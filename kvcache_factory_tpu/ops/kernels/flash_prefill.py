@@ -395,6 +395,8 @@ def flash_prefill_attention(
         # hardware: v5e has ~128 MB of physical VMEM); the s_buf pipeline +
         # triple-buffered KV chunks sit right at that edge, and larger block
         # configs beat the 16 MB-constrained sweep optimum.
+        # (tried: dimension_semantics=("parallel", "arbitrary") — hangs on
+        # hardware; the kernel's manual DMA pipeline assumes grid order)
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,

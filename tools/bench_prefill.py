@@ -28,8 +28,9 @@ def main():
     ap.add_argument("--hq", type=int, default=32)
     ap.add_argument("--hkv", type=int, default=8)
     ap.add_argument("--d", type=int, default=128)
-    ap.add_argument("--qb", type=int, default=1024)
-    ap.add_argument("--kb", type=int, default=1024)
+    ap.add_argument("--qb", type=int, default=0,
+                    help="0 = kernel-adaptive default")
+    ap.add_argument("--kb", type=int, default=0)
     ap.add_argument("--iters", type=int, default=32,
                     help="in-jit iterations; at >=100 ms/kernel this keeps "
                          "the ~25-40 ms tunnel dispatch under 1% of the run")
@@ -51,8 +52,8 @@ def main():
                 # kernel call out of the loop (acc*0 is not foldable: NaN)
                 qd = q + (acc * 0).astype(q.dtype)
                 out, sc = flash_prefill_attention(
-                    qd, k, v, tl, args.window, q_block=args.qb,
-                    kv_block=args.kb)
+                    qd, k, v, tl, args.window, q_block=args.qb or None,
+                    kv_block=args.kb or None)
                 return acc + out[0, -1, 0].astype(jnp.float32) + sc[0, 0]
             return lax.fori_loop(0, args.iters, body, jnp.float32(0.0))
 
@@ -62,7 +63,7 @@ def main():
         float(np.asarray(run(q, k, v)))  # host readback forces completion
         dt = (time.perf_counter() - t0) / args.iters
         flops = 2.0 * args.hq * S * S * args.d
-        print(f"S={S:6d} QB={args.qb} KB={args.kb}: {dt*1e3:8.1f} ms  "
+        print(f"S={S:6d} QB={args.qb or 'auto'} KB={args.kb or 'auto'}: {dt*1e3:8.1f} ms  "
               f"{flops/dt/1e12:6.1f} TF/s")
 
 
