@@ -73,13 +73,20 @@ def offload_kv_cache(cache, decode_headroom: int) -> OffloadedKVCache:
             "memory space; host-offloaded caches need a real TPU/CPU PJRT "
             f"client (available: {sorted(kinds)})")
     host = _memory_sharding(cache.k, "pinned_host")
+    # Decode ring on the SAME device sharding as the prefill cache: a plain
+    # jnp.zeros would land on the default device, splitting the cache across
+    # devices when cache.k lives elsewhere (then the jitted decode step sees
+    # mixed placements and errors or silently transfers).
+    dev_shard = cache.k.sharding
     L, B, H, C, D = cache.k.shape
     R = decode_headroom
+    zeros = lambda dt: jax.device_put(jnp.zeros((L, B, H, R, D), dt),
+                                      dev_shard)
     return OffloadedKVCache(
         hk=jax.device_put(cache.k, host),
         hv=jax.device_put(cache.v, host),
-        dk=jnp.zeros((L, B, H, R, D), cache.k.dtype),
-        dv=jnp.zeros((L, B, H, R, D), cache.v.dtype),
+        dk=zeros(cache.k.dtype),
+        dv=zeros(cache.v.dtype),
         prefill_len=cache.lengths,
         lengths=cache.lengths,
         positions=cache.positions,

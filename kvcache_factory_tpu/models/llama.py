@@ -806,8 +806,15 @@ def decode_step(
         # sharding the host arrays the same way, not yet wired).
         from jax.sharding import SingleDeviceSharding
         hk_const, hv_const, plen_const = cache.hk, cache.hv, cache.prefill_len
-        dev_shard = SingleDeviceSharding(jax.devices()[0],
-                                         memory_kind="device")
+        # Fetch onto the device the decode ring actually lives on.  Under a
+        # jit trace the ring is a Tracer with no concrete device — fall back
+        # to the default device (offload is a single-device feature for now;
+        # jit users on a non-default device should device_put inputs first).
+        try:
+            ring_dev = cache.dk.devices().pop()
+        except Exception:
+            ring_dev = jax.devices()[0]
+        dev_shard = SingleDeviceSharding(ring_dev, memory_kind="device")
         stacks0 = (cache.dk, cache.dv, cache.lengths)
     elif thinkc:
         stacks0 = (cache.kp, cache.channels, cache.kd, cache.v,

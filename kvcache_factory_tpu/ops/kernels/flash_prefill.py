@@ -78,10 +78,11 @@ def _flash_kernel(S: int, QB: int, KB: int, D: int, G: int, W: int,
         get_k(0, 0).start()
         get_v(0, 0).start()
 
-        @pl.when(kv_hi > 1)
-        def _():
-            get_k(1, 1).start()
-            get_v(1, 1).start()
+        if S // KB > 1:  # static: chunk 1's slice must exist to be traced
+            @pl.when(kv_hi > 1)
+            def _():
+                get_k(1, 1).start()
+                get_v(1, 1).start()
 
     # MXU inputs stay in the storage dtype (bf16 on TPU): bf16 x bf16
     # products are exact under the fp32 accumulation the MXU always does, so
@@ -106,6 +107,17 @@ def _flash_kernel(S: int, QB: int, KB: int, D: int, G: int, W: int,
         bad = (blk * KB + col_base) > row_lim
         return jnp.where(bad, NEG_INF, s)
 
+    def fold(m, l, acc, s_prev, v_blk):
+        """Online-softmax fold of one block's logits + its PV matmul."""
+        m_new = jnp.maximum(m, jnp.max(s_prev, axis=-1, keepdims=True))
+        p = jnp.exp(s_prev - m_new)
+        alpha = jnp.exp(m - m_new)
+        l_new = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        pv = jax.lax.dot_general(p.astype(v_blk.dtype), v_blk,
+                                 (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        return m_new, l_new, pv + acc * alpha
+
     diag_blk = kv_hi - 1
 
     def block_selected(blk):
@@ -129,27 +141,10 @@ def _flash_kernel(S: int, QB: int, KB: int, D: int, G: int, W: int,
                 cp_v.start()
                 cp_k.wait()
                 s = logits_for(blk, k_s[0])
-                m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
-                p = jnp.exp(s - m_new)
-                alpha = jnp.exp(m - m_new)
-                l_new = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
                 cp_v.wait()
-                pv = jax.lax.dot_general(p.astype(v_s.dtype), v_s[0],
-                                         (((1,), (0,)), ((), ())),
-                                         preferred_element_type=jnp.float32)
-                return m_new, l_new, pv + acc * alpha
+                return fold(m, l, acc, s, v_s[0])
 
             return lax.cond(block_selected(blk), compute, lambda c: c, carry)
-    def fold(m, l, acc, s_prev, v_blk):
-        """Online-softmax fold of one block's logits + its PV matmul."""
-        m_new = jnp.maximum(m, jnp.max(s_prev, axis=-1, keepdims=True))
-        p = jnp.exp(s_prev - m_new)
-        alpha = jnp.exp(m - m_new)
-        l_new = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
-        pv = jax.lax.dot_general(p.astype(v_blk.dtype), v_blk,
-                                 (((1,), (0,)), ((), ())),
-                                 preferred_element_type=jnp.float32)
-        return m_new, l_new, pv + acc * alpha
 
     m0 = jnp.full((QB, 1), NEG_INF, jnp.float32)
     l0 = jnp.zeros((QB, 1), jnp.float32)
@@ -317,9 +312,12 @@ def flash_prefill_attention(
     assert D % 128 == 0, "flash prefill requires lane-aligned head_dim"
     # v5e sweep (s_buf-pipelined kernel, vmem_limit raised past the 16 MB
     # default): 32k/64k want 2048x2048 blocks (121/131 TF/s); at <=16k the
-    # shorter KV runs favor 1024x1024 (4k 51, 8k 81, 16k 102 TF/s).
+    # shorter KV runs favor 1024x1024 (4k 51, 8k 81, 16k 102 TF/s).  Sparse
+    # patterns are parameterized in BLOCK units (sink/local/stride counts,
+    # vertical-slash mask granularity), so they pin to the historical 1024
+    # blocks — an S-adaptive size would silently rescale the pattern.
     if q_block is None:
-        q_block = 1024 if S <= 16384 else 2048
+        q_block = 1024 if (S <= 16384 or sparse_pattern is not None) else 2048
     if kv_block is None:
         kv_block = q_block
     QB = min(q_block, S)
@@ -379,7 +377,10 @@ def flash_prefill_attention(
         scratch_shapes=[
             pltpu.VMEM((3, KB, D), k.dtype),
             pltpu.VMEM((3, KB, D), v.dtype),
-            pltpu.VMEM((2, QB, KB), jnp.float32),
+            # logits ping-pong: dense pipeline only — the sparse paths never
+            # touch it, so they get a minimal placeholder instead of QB*KB*8B
+            pltpu.VMEM((2, QB, KB) if not sparse else (1, 8, 128),
+                       jnp.float32),
             pltpu.SemaphoreType.DMA((3, 2)),
         ],
     )

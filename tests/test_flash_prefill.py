@@ -210,3 +210,46 @@ def test_flash_prefill_bf16_inputs_match_fp32_oracle():
     m = np.isfinite(exp_scores) & (np.arange(S)[None] < tl - W)
     rel = np.abs(exp_scores[m] - got[m]) / (np.abs(exp_scores[m]) + 1e-6)
     assert rel.max() < 5e-3, rel.max()
+
+
+@pytest.mark.parametrize("S,tl", [(1152, 1100), (1024, 1024)])
+def test_flash_prefill_deep_slot_wraparound(S, tl):
+    """kv_hi up to 9 with 128-blocks: exercises the triple-buffer slot
+    recycling (blk % 3 wraps three times) and the s_buf ping-pong across many
+    iterations — the small parametrized cases stop at kv_hi == 3 where every
+    slot is used at most once."""
+    Hq, G = 2, 2
+    rng = np.random.default_rng(7)
+    q = rng.normal(size=(Hq, S, D)).astype(np.float32)
+    k = rng.normal(size=(Hq // G, S, D)).astype(np.float32)
+    v = rng.normal(size=(Hq // G, S, D)).astype(np.float32)
+
+    out, _ = flash_prefill_attention(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+        jnp.asarray(tl, jnp.int32), window=16, q_block=128, kv_block=128,
+        interpret=True)
+
+    kg = np.repeat(k, G, axis=0)
+    vg = np.repeat(v, G, axis=0)
+    exp = ref_causal_attention(q, kg, vg, tl)
+    rows_valid = np.arange(S) < tl
+    np.testing.assert_allclose(np.asarray(out)[:, rows_valid],
+                               exp[:, rows_valid], rtol=2e-5, atol=2e-5)
+
+
+def test_flash_prefill_adaptive_block_default():
+    """q_block=None picks the adaptive size; parity must hold through it."""
+    Hq, S, tl = 2, 320, 300  # S < 1024: adaptive clamps QB = KB = S
+    rng = np.random.default_rng(8)
+    q = rng.normal(size=(Hq, S, D)).astype(np.float32)
+    k = rng.normal(size=(Hq, S, D)).astype(np.float32)
+    v = rng.normal(size=(Hq, S, D)).astype(np.float32)
+
+    out, _ = flash_prefill_attention(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+        jnp.asarray(tl, jnp.int32), window=16, interpret=True)
+
+    exp = ref_causal_attention(q, k, v, tl)
+    rows_valid = np.arange(S) < tl
+    np.testing.assert_allclose(np.asarray(out)[:, rows_valid],
+                               exp[:, rows_valid], rtol=2e-5, atol=2e-5)
