@@ -45,11 +45,15 @@ def main():
     ap.add_argument("--method", type=str, default="snapkv")
     ap.add_argument("--nbits", type=int, default=0,
                     help="0 = fp cache; 4/8 = quantized KV cache")
+    ap.add_argument("--group_reduce", type=str, default="none",
+                    help="'mean' = GQA-grouped cache (4x smaller for this "
+                         "geometry); 'none' = reference-parity per-query-head")
     args = ap.parse_args()
 
     cfg = flagship()
     comp = CompressionConfig(method=args.method, max_capacity_prompt=args.capacity,
-                             window_size=8, kernel_size=7, pooling="maxpool")
+                             window_size=8, kernel_size=7, pooling="maxpool",
+                             group_reduce=args.group_reduce)
     quant = None
     if args.nbits:
         from kvcache_factory_tpu.config import QuantConfig
@@ -130,6 +134,7 @@ def main():
         "cache_gb": round(cache_bytes / 1e9, 2),
         "config": {"prompt": S, "capacity": args.capacity, "batch": B,
                    "method": args.method, "nbits": args.nbits,
+                   "group_reduce": args.group_reduce,
                    "model": "tinyllama-1.1b-shape"},
     }
     import sys
