@@ -57,6 +57,22 @@ MAX_BLK = 8192         # int8 rows per chunk cap (6 slot buffers ~6 MB at D=128)
 N_PLANES = 4           # k_scale, k_zero, v_scale, v_zero rows
 
 
+
+def _bcast_row(row, G: int):
+    """[BLK] plane slice -> [G, BLK] via an MXU outer product.  A plain jnp
+    broadcast lowers to vector.broadcast from an offset-0 sublane layout to a
+    replicated one, which Mosaic rejects ("Invalid input layout") in some
+    surrounding-graph contexts (reproducibly with G=4 when the kernel is
+    called directly; context-dependent inside the decode scan).  The
+    [G,1]x[1,BLK] dot is a few thousand MACs - noise at decode."""
+    if G == 1:
+        return row.reshape(1, -1)
+    return jax.lax.dot_general(jnp.ones((G, 1), jnp.float32),
+                               row.reshape(1, -1).astype(jnp.float32),
+                               (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
 def _quant_decode_kernel(C: int, BLK: int, NC: int, G: int, D: int, H: int,
                          lens_ref,              # scalar prefetch [H]
                          lidx_ref,              # scalar prefetch [1]
@@ -201,8 +217,8 @@ def _quant_decode_kernel(C: int, BLK: int, NC: int, G: int, D: int, H: int,
         cb = kc_s[slot].astype(jnp.float32) + 128.0       # [BLK, D]
         qc = jax.lax.dot_general(q, cb, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)  # [G,BLK]
-        ks_w = planes[0:1, sc0:sc0 + BLK]                 # static lane slices
-        kz_w = planes[1:2, sc0:sc0 + BLK]
+        ks_w = _bcast_row(planes[0, sc0:sc0 + BLK], G)    # static lane slices
+        kz_w = _bcast_row(planes[1, sc0:sc0 + BLK], G)
         s = qc * ks_w + qsum * kz_w                       # [G, BLK]
         ids = sc0 + jax.lax.broadcasted_iota(jnp.int32, (G, BLK), 1)
         s = jnp.where((ids >= c * BLK) & (ids < L), s, NEG_INF)
@@ -213,10 +229,11 @@ def _quant_decode_kernel(C: int, BLK: int, NC: int, G: int, D: int, H: int,
         l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
 
         cvb = vc_s[slot].astype(jnp.float32) + 128.0      # [BLK, D]
-        pw = p * planes[2:3, sc0:sc0 + BLK]
+        pw = p * _bcast_row(planes[2, sc0:sc0 + BLK], G)
         pv = jax.lax.dot_general(pw, cvb, (((1,), (0,)), ((), ())),
                                  preferred_element_type=jnp.float32)  # [G, D]
-        pz = jnp.sum(p * planes[3:4, sc0:sc0 + BLK], axis=-1, keepdims=True)
+        pz = jnp.sum(p * _bcast_row(planes[3, sc0:sc0 + BLK], G), axis=-1,
+                     keepdims=True)
         acc = acc * alpha + pv + pz
         m = m_new
 
@@ -521,8 +538,9 @@ def _quant4_decode_kernel(C: int, BLK: int, NC: int, G: int, D: int, H: int,
             cb = ((kraw >> shift) & 0xF).astype(jnp.float32)
             qc = jax.lax.dot_general(q, cb, (((1,), (1,)), ((), ())),
                                      preferred_element_type=jnp.float32)
-            ks_w = planes[0:1, base:base + BLK]   # static lane slices
-            kz_w = planes[1:2, base:base + BLK]
+            # _bcast_row: see its Mosaic vector.broadcast note
+            ks_w = _bcast_row(planes[0, base:base + BLK], G)
+            kz_w = _bcast_row(planes[1, base:base + BLK], G)
             s = qc * ks_w + qsum * kz_w           # [G, BLK]
             ids = base + jax.lax.broadcasted_iota(jnp.int32, (G, BLK), 1)
             lo_bound = (C2 if shift else 0) + c * BLK  # tail-re-read dedup
@@ -534,11 +552,11 @@ def _quant4_decode_kernel(C: int, BLK: int, NC: int, G: int, D: int, H: int,
             l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
 
             cvb = ((vraw >> shift) & 0xF).astype(jnp.float32)
-            pw = p * planes[2:3, base:base + BLK]
+            pw = p * _bcast_row(planes[2, base:base + BLK], G)
             pv = jax.lax.dot_general(pw, cvb, (((1,), (0,)), ((), ())),
                                      preferred_element_type=jnp.float32)
-            pz = jnp.sum(p * planes[3:4, base:base + BLK], axis=-1,
-                         keepdims=True)
+            pz = jnp.sum(p * _bcast_row(planes[3, base:base + BLK], G),
+                         axis=-1, keepdims=True)
             acc = acc * alpha + pv + pz
             m = m_new
 

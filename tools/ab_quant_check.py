@@ -18,8 +18,10 @@ cfg = ModelConfig(model_type="llama", vocab_size=32000, hidden_size=2048,
     intermediate_size=5632, num_hidden_layers=22, num_attention_heads=16,
     num_key_value_heads=4, head_dim=128, max_position_embeddings=8192)
 params = init_params(cfg, jax.random.PRNGKey(0))
+GROUP = sys.argv[2] if len(sys.argv) > 2 else "none"  # "mean" = GQA-grouped
 comp = CompressionConfig(method="snapkv", max_capacity_prompt=512,
-                         window_size=8, kernel_size=7, pooling="maxpool")
+                         window_size=8, kernel_size=7, pooling="maxpool",
+                         group_reduce=GROUP)
 NBITS = int(sys.argv[1]) if len(sys.argv) > 1 else 8
 # q_group_size == head_dim so the XLA path's group-wise quantization matches
 # the TPU layout's per-token granularity.
