@@ -112,31 +112,3 @@ def init_eviction_stamps(lengths: jnp.ndarray, positions: jnp.ndarray,
     slot = lax.broadcasted_iota(jnp.int32, lengths.shape + (capacity,),
                                 lengths.ndim)
     return positions[None, :, None, None] - (lengths[..., None] - slot)
-
-
-def evict_append_layer(
-    k_cache: jnp.ndarray,   # [B, H, C, D]
-    v_cache: jnp.ndarray,
-    scores: jnp.ndarray,    # [B, H, C] f32
-    stamps: jnp.ndarray,    # [B, H, C] int32
-    lengths: jnp.ndarray,   # [B, H]
-    k_new: jnp.ndarray,     # [B, H, 1, D]
-    v_new: jnp.ndarray,
-    cur_pos: jnp.ndarray,   # [B] current absolute position
-    recent: int,
-):
-    """Append at ``lengths`` while the cache has room; once full, overwrite
-    the argmin-score slot outside the recent-timestamp window."""
-    B, H, C, D = k_cache.shape
-    slot_ids = lax.broadcasted_iota(jnp.int32, (B, H, C), 2)
-    protected = stamps >= (cur_pos[:, None, None] - recent)
-    cand = jnp.where(protected, jnp.inf, scores)
-    evict_slot = jnp.argmin(cand, axis=-1).astype(jnp.int32)  # [B, H]
-    target = jnp.where(lengths < C, lengths, evict_slot)
-
-    onehot = (slot_ids == target[..., None])
-    k_out = jnp.where(onehot[..., None], k_new, k_cache)
-    v_out = jnp.where(onehot[..., None], v_new, v_cache)
-    scores_out = jnp.where(onehot, 0.0, scores)  # fresh entry restarts at 0
-    stamps_out = jnp.where(onehot, cur_pos[:, None, None], stamps)
-    return k_out, v_out, scores_out, stamps_out, jnp.minimum(lengths + 1, C)

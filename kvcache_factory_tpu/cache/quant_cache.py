@@ -192,25 +192,6 @@ def from_packed_prefill(k: jnp.ndarray, v: jnp.ndarray, lengths: jnp.ndarray,
                             rk, rv)
 
 
-def append_layer_quant(layer_cache: Tuple, k_new: jnp.ndarray,
-                       v_new: jnp.ndarray, cfg: QuantConfig):
-    """Per-layer decode append: quantize the new token once, one-hot scatter
-    into the int8 buffers (same masked-write idiom as the dense cache)."""
-    qk, qv, ks, kz, vs, vz, lens = layer_cache
-    nk, nks, nkz = encode(k_new, cfg)  # [B, H, 1, D'], [B, H, 1, G]
-    nv, nvs, nvz = encode(v_new, cfg)
-    C = qk.shape[2]
-    slot = lax.broadcasted_iota(jnp.int32, qk.shape[:3], 2)
-    onehot = (slot == lens[:, :, None])[..., None]
-    qk = jnp.where(onehot, nk, qk)
-    qv = jnp.where(onehot, nv, qv)
-    ks = jnp.where(onehot, nks, ks)
-    kz = jnp.where(onehot, nkz, kz)
-    vs = jnp.where(onehot, nvs, vs)
-    vz = jnp.where(onehot, nvz, vz)
-    return (qk, qv, ks, kz, vs, vz, jnp.minimum(lens + 1, C))
-
-
 # ---------------------------------------------------------------------------
 # TPU-kernel layout: per-token scales stored as 128-lane planes
 # ---------------------------------------------------------------------------

@@ -251,6 +251,17 @@ class CompressionConfig:
         """Retained non-window budget (reference ``max_capacity_prompt - window``)."""
         return self.max_capacity_prompt - self.window_size
 
+    def cache_heads(self, num_query_heads: int, num_kv_heads: int) -> int:
+        """Heads the packed cache carries: ``num_kv_heads`` when nothing is
+        selected per query head — fullkv AND minference retain the raw KV
+        (policies/methods.py fullkv/minference branch) — or when selections
+        are group-reduced; otherwise per-query-head (reference parity after
+        repeat_kv, llama_model.py:158-167).  Single source of truth for the
+        model prefill and the batched-slot allocator."""
+        if self.method in ("fullkv", "minference") or self.group_reduce != "none":
+            return num_kv_heads
+        return num_query_heads
+
     def layer_capacity(self, num_layers: int, prefill_len: int) -> int:
         """Static per-layer cache capacity needed to hold this policy's output.
 

@@ -243,7 +243,7 @@ def prefill(
     x = params["embed"][tokens].astype(dtype)  # [B, S, hidden]
     cos, sin = rope_tables(cfg, S)
 
-    cache_heads = Hkv if (comp.method == "fullkv" or comp.group_reduce != "none") else Hq
+    cache_heads = comp.cache_heads(Hq, Hkv)
     policy_capacity = comp.layer_capacity(L, S)
     assert cache_capacity >= policy_capacity, (
         f"cache capacity {cache_capacity} < policy capacity {policy_capacity}")

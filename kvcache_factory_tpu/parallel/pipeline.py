@@ -114,18 +114,24 @@ def pipeline_forward(
             h = apply_local_layers(x_in, params["layers"], mask)
 
             # Last stage finishes microbatch t - (P-1): final norm + logits
-            # at each sequence's last valid token.
+            # at each sequence's last valid token.  The vocab-wide lm_head
+            # matmul is gated behind a real lax.cond — stage/t are runtime
+            # scalars inside shard_map, so non-emitting stages/ticks skip the
+            # [mb, V] projection entirely instead of computing and discarding
+            # it ((P-1)/P of the pipeline's matmul cost at large vocab).
             done_idx = jnp.clip(t - last, 0, M - 1)
-            xf = rms_norm(h, params["final_norm"], cfg.rms_norm_eps)
-            last_tok = jnp.maximum(len_mb - 1, 0)
-            x_last = jnp.take_along_axis(xf, last_tok[:, None, None], axis=1)
-            logits = (x_last[:, 0] @ params["lm_head"]).astype(jnp.float32)
             emit = (stage == last) & (t >= last) & (t - last < M)
-            outs = jnp.where(
-                emit,
-                lax.dynamic_update_slice_in_dim(outs, logits,
-                                                done_idx * mb, 0),
-                outs)
+
+            def project(_):
+                xf = rms_norm(h, params["final_norm"], cfg.rms_norm_eps)
+                last_tok = jnp.maximum(len_mb - 1, 0)
+                x_last = jnp.take_along_axis(xf, last_tok[:, None, None],
+                                             axis=1)
+                logits = (x_last[:, 0] @ params["lm_head"]).astype(jnp.float32)
+                return lax.dynamic_update_slice_in_dim(outs, logits,
+                                                       done_idx * mb, 0)
+
+            outs = lax.cond(emit, project, lambda _: outs, None)
 
             recv = lax.ppermute(h, "pp",
                                 [(i, (i + 1) % n_stages)

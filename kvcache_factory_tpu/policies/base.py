@@ -44,7 +44,13 @@ def select_and_pack(
     true_len: jnp.ndarray,  # scalar int32
     capacity: int,
     no_compress: jnp.ndarray,  # scalar bool — reference q_len < cap branch
+    return_indices: bool = False,
 ) -> PackedKV:
+    """When ``return_indices``, returns ``(PackedKV, sel_idx [H, C])`` where
+    ``sel_idx`` is the COMPRESSED-branch gather index layout (top-budget then
+    window) — consumers like the LOOK-M pivot merge need the routing that was
+    actually packed, and reconstructing it outside would silently diverge if
+    this layout ever changes."""
     H, S, D = k.shape
     C = capacity
     assert C <= S, f"capacity {C} must not exceed source length {S}"
@@ -73,7 +79,10 @@ def select_and_pack(
         (budget[:, 0] + w).astype(jnp.int32),
     )
     lengths = jnp.minimum(lengths, C)
-    return PackedKV(k_out, v_out, lengths)
+    packed = PackedKV(k_out, v_out, lengths)
+    if return_indices:
+        return packed, sel_idx
+    return packed
 
 
 def grouped_scores_to_heads(

@@ -170,15 +170,22 @@ def compress_layer(
         col_mean = jnp.mean(probs, axis=1)
         assert ctx.rng is not None, "CAM requires an rng key for Bernoulli merging"
         v_rep = _repeat_heads(v, groups)
-        v_merged = cam_merge_values(v_rep, col_mean, true_len,
-                                    cfg.start_budget_ratio, w, ctx.rng)
-        if per_query_cache:
-            v_sel = v_merged
-        else:  # aggregate merged values back per kv head (group mean)
-            v_sel = jnp.mean(v_merged.reshape(Hkv, groups, S, D), axis=1)
-        col_ids = lax.broadcasted_iota(jnp.int32, col_sum.shape, 1)
-        scores = jnp.where(col_ids >= true_len - w, NEG_INF,
-                           _reduce_groups(col_sum, groups, cfg.group_reduce))
+
+        def merged_values(_):
+            vm = cam_merge_values(v_rep, col_mean, true_len,
+                                  cfg.start_budget_ratio, w, ctx.rng)
+            if per_query_cache:
+                return vm
+            # aggregate merged values back per kv head (group mean)
+            return jnp.mean(vm.reshape(Hkv, groups, S, D), axis=1)
+
+        # The reference's no-compress branch returns the UNTOUCHED KV
+        # (pyramidkv_utils.py:450-455 early return before any merging) —
+        # merging must not leak into short prompts.
+        v_sel = lax.cond(no_compress, lambda _: v_sel, merged_values, None)
+        reduced = _reduce_groups(col_sum, groups, cfg.group_reduce)
+        col_ids = lax.broadcasted_iota(jnp.int32, reduced.shape, 1)
+        scores = jnp.where(col_ids >= true_len - w, NEG_INF, reduced)
         budget = jnp.broadcast_to(jnp.asarray(cfg.base_capacity, jnp.int32), (H_out,))
 
     elif method == "streamingllm":
@@ -214,14 +221,12 @@ def compress_layer(
         raise ValueError(f"unknown method {method}")
 
     budget = jnp.minimum(budget, jnp.maximum(true_len - w, 0))
-    packed = select_and_pack(k_sel, v_sel, scores, budget, w, true_len, C, no_compress)
+    packed, gidx = select_and_pack(k_sel, v_sel, scores, budget, w, true_len,
+                                   C, no_compress, return_indices=True)
 
     if cfg.merge == "pivot" and method in ("snapkv", "pyramidkv", "h2o", "streamingllm"):
-        # Recover the gather indices used by select_and_pack for merge routing.
-        _, top_idx = lax.top_k(scores, min(C, S))
-        pos = lax.broadcasted_iota(jnp.int32, (H_out, C), 1)
-        win_idx = (true_len - w) + (pos - budget[:, None])
-        gidx = jnp.where(pos < budget[:, None], top_idx, jnp.clip(win_idx, 0, S - 1))
+        # gidx is the exact compressed-branch gather layout select_and_pack
+        # used — merge routing stays consistent with what was packed.
         packed = jax.lax.cond(
             no_compress, lambda p: p,
             lambda p: lookm_pivot_merge(p, gidx, k_sel, v_sel, true_len), packed)

@@ -51,12 +51,32 @@ class ContinuousBatchingEngine:
 
     def __init__(self, params, cfg: EngineConfig, n_slots: int = 4,
                  max_new_cap: int = 256,
-                 eos_token_ids: Sequence[int] = ()):
+                 eos_token_ids: Sequence[int] = (),
+                 head_capacity=None, rng=None):
+        # The slot pool batches plain dense KVCache rows; configs whose cache
+        # is a different pytree would be SILENTLY stripped to dense KV by
+        # _insert_row — refuse them loudly instead of mis-serving.
+        if cfg.quant is not None:
+            raise NotImplementedError(
+                "continuous batching batches dense KVCache rows; quantized "
+                "caches are served through InferenceEngine")
+        if cfg.compression.decode_evict or (
+                cfg.compression.method == "think"
+                and cfg.compression.think_packed):
+            raise NotImplementedError(
+                "continuous batching does not support decode_evict or "
+                "think_packed caches (non-KVCache pytrees)")
+        if cfg.compression.method == "headkv" and head_capacity is None:
+            raise ValueError("headkv requires head_capacity (as in "
+                             "InferenceEngine)")
         self.params = params
         self.cfg = cfg
         self.n_slots = n_slots
         self.max_new_cap = max_new_cap
         self.eos = tuple(eos_token_ids)
+        self.head_capacity = (None if head_capacity is None
+                              else jnp.asarray(head_capacity, jnp.int32))
+        self.rng = rng if rng is not None else jax.random.PRNGKey(0)
         self.buckets = sorted(cfg.prefill_buckets)
         self.scheduler = make_scheduler(n_slots, self.buckets)
         self._prompts: Dict[int, List[int]] = {}
@@ -82,7 +102,8 @@ class ContinuousBatchingEngine:
         res = llama.prefill(
             self.params, self.cfg.model, self.cfg.compression,
             jnp.asarray(toks), jnp.asarray([len(prompt)], jnp.int32),
-            cache_capacity=self.cache_capacity)
+            cache_capacity=self.cache_capacity,
+            head_capacity=self.head_capacity, rng=self.rng)
         first = jnp.argmax(res.logits_last, axis=-1).astype(jnp.int32)
         return res.cache, first
 
@@ -90,10 +111,8 @@ class ContinuousBatchingEngine:
         """Blocking drain: returns {request_id: generated token ids}."""
         cfg = self.cfg
         L = cfg.model.num_hidden_layers
-        cache_heads = (cfg.model.num_key_value_heads
-                       if (cfg.compression.method == "fullkv"
-                           or cfg.compression.group_reduce != "none")
-                       else cfg.model.num_attention_heads)
+        cache_heads = cfg.compression.cache_heads(
+            cfg.model.num_attention_heads, cfg.model.num_key_value_heads)
         from ..cache.kv_cache import init_cache
         from ..config import dtype_of
         batched = init_cache(L, self.n_slots, cache_heads, self.cache_capacity,

@@ -19,8 +19,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..cache.kv_cache import EvictingKVCache, KVCache
+from ..cache.offload_cache import OffloadedKVCache
 from ..cache.quant_cache import (QuantizedKVCache, QuantKVCacheTPU,
                                  QuantKVCacheTPU4)
+from ..cache.think_cache import ThinKCache
 
 _CACHE_TYPES = {
     "KVCache": KVCache,
@@ -28,6 +30,8 @@ _CACHE_TYPES = {
     "QuantKVCacheTPU": QuantKVCacheTPU,
     "QuantKVCacheTPU4": QuantKVCacheTPU4,
     "EvictingKVCache": EvictingKVCache,
+    "ThinKCache": ThinKCache,
+    "OffloadedKVCache": OffloadedKVCache,
 }
 
 
@@ -38,8 +42,12 @@ def save_generation_state(path: str, cache, cur_tokens: jnp.ndarray,
     import orbax.checkpoint as ocp
 
     path = os.path.abspath(path)
+    # Drop None fields (e.g. QuantizedKVCache's optional rk/rv residual
+    # ring): orbax cannot round-trip them and the NamedTuple defaults
+    # restore them as None on load.
+    cache_dict = {k: v for k, v in cache._asdict().items() if v is not None}
     state = {
-        "cache": cache._asdict(),
+        "cache": cache_dict,
         "cur_tokens": cur_tokens,
         "generated": jnp.asarray(generated),
     }

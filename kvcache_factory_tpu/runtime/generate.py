@@ -87,6 +87,22 @@ def generate(
     def is_eos(tok):
         return jnp.any(tok[:, None] == eos[None, :], axis=-1)
 
+    vocab = pre.logits_last.shape[-1]
+    eos_mask = (jnp.zeros((vocab,), bool).at[eos].set(True, mode="drop")
+                if gen_cfg.eos_token_ids else jnp.zeros((vocab,), bool))
+
+    def suppress_eos(logits, allow_eos):
+        """HF min_length semantics: before min_new_tokens the EOS logit is
+        masked so the runner-up token is emitted — EOS must never appear
+        inside the output (the previous behavior recorded an interior EOS
+        and conditioned later tokens on it)."""
+        return jnp.where(jnp.logical_not(allow_eos) & eos_mask[None, :],
+                         -jnp.inf, logits)
+
+    if gen_cfg.min_new_tokens > 1:
+        first_tok = sample_token(
+            suppress_eos(pre.logits_last, jnp.asarray(False)), gen_cfg, k0)
+
     out_buf = jnp.zeros((B, max_new), jnp.int32)
     out_buf = out_buf.at[:, 0].set(first_tok)
     # min_new_tokens=1 per reference min_length=ctx+1: the first token is
@@ -110,10 +126,12 @@ def generate(
             params, model_cfg, s.cur, s.cache, quant=quant_cfg,
             eviction_recent=comp_cfg.eviction_recent)
         rng_next, kstep = jax.random.split(s.rng)
-        nxt = sample_token(logits, gen_cfg, kstep)
+        nxt = sample_token(
+            suppress_eos(logits, s.step + 1 >= gen_cfg.min_new_tokens),
+            gen_cfg, kstep)
         out = s.out.at[:, s.step].set(jnp.where(s.done, 0, nxt))
         num = s.num + jnp.where(s.done, 0, 1)
-        newly_done = is_eos(nxt) & (s.step + 1 >= gen_cfg.min_new_tokens)
+        newly_done = is_eos(nxt)
         cur = jnp.where(s.done, s.cur, nxt)
         return _State(s.step + 1, cur, s.done | newly_done, num, out,
                       rng_next, cache)

@@ -136,3 +136,50 @@ def test_native_safetensors_reader(tmp_path):
         got = f.tensor(name)
         np.testing.assert_array_equal(got, ref)
     f.close()
+
+
+def test_batching_minference_gqa_matches_sequential(tiny):
+    """minference keeps the cache at num_key_value_heads (like fullkv); the
+    batched slot pool must allocate the same head count — a per-query-head
+    pool silently wrote only the first Hkv head rows of each slot."""
+    params, ecfg = tiny
+    from dataclasses import replace
+    comp = replace(ecfg.compression, method="minference",
+                   sparse_prefill=("ashape", 1, 1, 1))  # dense-equivalent
+    ecfg2 = EngineConfig(model=ecfg.model, compression=comp,
+                         prefill_buckets=ecfg.prefill_buckets)
+    rng = np.random.default_rng(3)
+    prompts = [rng.integers(0, 128, size=n).tolist() for n in (40, 90)]
+    max_new = 5
+
+    engine = ContinuousBatchingEngine(params, ecfg2, n_slots=2,
+                                      max_new_cap=max_new)
+    rids = [engine.submit(p, max_new) for p in prompts]
+    outputs = engine.run()
+    for rid, prompt in zip(rids, prompts):
+        bucket = 64 if len(prompt) <= 64 else 128
+        toks = np.zeros((1, bucket), np.int32)
+        toks[0, :len(prompt)] = prompt
+        res = generate(params, ecfg2.model, ecfg2.compression,
+                       GenerationConfig(max_new_tokens=max_new),
+                       jnp.asarray(toks), jnp.asarray([len(prompt)], jnp.int32),
+                       cache_capacity=engine.cache_capacity)
+        expect = np.asarray(res.tokens)[0, :int(res.num_tokens[0])].tolist()
+        assert outputs[rid] == expect, f"request {rid} diverged"
+
+
+def test_batching_rejects_unsupported_configs(tiny):
+    params, ecfg = tiny
+    from dataclasses import replace
+    from kvcache_factory_tpu.config import QuantConfig
+    with pytest.raises(NotImplementedError):
+        ContinuousBatchingEngine(
+            params, EngineConfig(model=ecfg.model,
+                                 compression=ecfg.compression,
+                                 prefill_buckets=ecfg.prefill_buckets,
+                                 quant=QuantConfig(nbits=8, q_group_size=16)))
+    with pytest.raises(NotImplementedError):
+        comp = replace(ecfg.compression, decode_evict=True)
+        ContinuousBatchingEngine(
+            params, EngineConfig(model=ecfg.model, compression=comp,
+                                 prefill_buckets=ecfg.prefill_buckets))

@@ -60,3 +60,38 @@ def test_checkpoint_resume_bit_identical(tmp_path):
         got.append(int(t2[0]))
 
     assert got == ref_tokens
+
+
+def test_checkpoint_quantized_cache_roundtrip(tmp_path):
+    """QuantizedKVCache with rk=rv=None (residual_length=0, the default)
+    must survive a save/load round trip — None fields are dropped on save
+    and restored from the NamedTuple defaults."""
+    from kvcache_factory_tpu.config import QuantConfig
+
+    cfg = ModelConfig(
+        model_type="llama", vocab_size=128, hidden_size=64,
+        intermediate_size=128, num_hidden_layers=2, num_attention_heads=4,
+        num_key_value_heads=2, head_dim=16, max_position_embeddings=256,
+        dtype="float32")
+    params = init_params(cfg, jax.random.PRNGKey(6), dtype=jnp.float32)
+    comp = CompressionConfig(method="snapkv", max_capacity_prompt=32,
+                             window_size=8)
+    quant = QuantConfig(nbits=8, q_group_size=16)  # group <= tiny head_dim
+    toks = np.random.default_rng(1).integers(0, 128, size=(1, 64))
+    pre = llama.prefill(params, cfg, comp, jnp.asarray(toks, jnp.int32),
+                        jnp.asarray([64], jnp.int32), cache_capacity=48,
+                        quant=quant)
+    cur = jnp.argmax(pre.logits_last, -1).astype(jnp.int32)
+    assert pre.cache.rk is None  # the regression precondition
+
+    path = save_generation_state(str(tmp_path / "qckpt"), pre.cache, cur,
+                                 np.asarray([[int(cur[0])]]))
+    cache2, cur2, gen2, _ = load_generation_state(path)
+    assert type(cache2).__name__ == "QuantizedKVCache"
+    assert cache2.rk is None and cache2.rv is None
+    np.testing.assert_array_equal(np.asarray(cache2.qk),
+                                  np.asarray(pre.cache.qk))
+    # Resumed decode must match continuing from the original cache.
+    lg_a, _ = llama.decode_step(params, cfg, cur, pre.cache, quant=quant)
+    lg_b, _ = llama.decode_step(params, cfg, cur2, cache2, quant=quant)
+    np.testing.assert_array_equal(np.asarray(lg_a), np.asarray(lg_b))

@@ -451,3 +451,25 @@ def test_qwen2_sliding_window_config_semantics():
     # uniform sliding layer_types keeps the window (Mistral-like)
     assert ModelConfig.from_hf_config(
         {**base, "layer_types": ["sliding_attention"] * 4}).sliding_window == 1024
+
+
+def test_min_new_tokens_suppresses_eos(llama_setup):
+    """HF min_length semantics: before min_new_tokens the EOS logit is
+    masked, so EOS never appears inside the output (the old behavior
+    recorded an interior EOS and conditioned later tokens on it)."""
+    model, cfg, params = llama_setup
+    S = 16
+    rng = np.random.default_rng(6)
+    toks = rng.integers(0, cfg.vocab_size, size=(1, S))
+    gen_cfg0 = GenerationConfig(max_new_tokens=4, eos_token_ids=())
+    first = generate(params, cfg, FULL, gen_cfg0, jnp.asarray(toks, jnp.int32),
+                     jnp.asarray([S], jnp.int32), cache_capacity=S + 4)
+    eos_tok = int(np.asarray(first.tokens)[0, 1])  # greedy pick at step 2
+    gen_cfg = GenerationConfig(max_new_tokens=6, eos_token_ids=(eos_tok,),
+                               min_new_tokens=4)
+    res = generate(params, cfg, FULL, gen_cfg, jnp.asarray(toks, jnp.int32),
+                   jnp.asarray([S], jnp.int32), cache_capacity=S + 8)
+    out = np.asarray(res.tokens)[0, :int(res.num_tokens[0])]
+    # EOS must not occur before position min_new_tokens-1 (0-indexed interior)
+    assert eos_tok not in out[:3].tolist(), out
+    assert int(res.num_tokens[0]) >= 4

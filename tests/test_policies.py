@@ -394,3 +394,31 @@ def test_batched_compress_prefill():
     assert packed.k.shape == (B, H, cap, D)
     assert np.all(np.asarray(packed.lengths)[0] == cap)
     assert np.all(np.asarray(packed.lengths)[1] == cap)  # 64 >= cap -> compressed
+
+
+def test_cam_no_compress_keeps_exact_values():
+    """Short prompts must return UNTOUCHED values: the reference's
+    no-compress branch early-returns before any Bernoulli merging
+    (pyramidkv_utils.py:450-455)."""
+    q, k, v = make_qkv(21)
+    tl = 24  # < max_capacity_prompt -> no_compress
+    cfg = CompressionConfig(method="cam", max_capacity_prompt=32, window_size=W)
+    packed = run_policy(cfg, q, k, v, tl, rng=jax.random.PRNGKey(3))
+    np.testing.assert_array_equal(np.asarray(packed.k)[:, :tl], k[:, :tl])
+    np.testing.assert_array_equal(np.asarray(packed.v)[:, :tl], v[:, :tl])
+    assert np.all(np.asarray(packed.lengths) == tl)
+
+
+def test_cam_group_reduce_mean_shapes():
+    """CAM with a GQA-grouped cache: per-kv-head scores/values (this
+    configuration used to crash on a [Hq,S] vs [Hkv,S] broadcast)."""
+    groups = 2
+    hkv = H // groups
+    q, _, _ = make_qkv(22)                    # [H, S, D] query heads
+    _, k, v = make_qkv(23, h=hkv)             # [Hkv, S, D]
+    cfg = CompressionConfig(method="cam", max_capacity_prompt=32,
+                            window_size=W, group_reduce="mean")
+    packed = run_policy(cfg, q, k, v, S, rng=jax.random.PRNGKey(4))
+    assert packed.k.shape[0] == hkv
+    assert np.all(np.asarray(packed.lengths) == 32)
+    assert np.isfinite(np.asarray(packed.v)).all()
