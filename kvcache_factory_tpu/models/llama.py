@@ -28,11 +28,8 @@ from ..cache.quant_cache import (QuantizedKVCache, QuantKVCacheTPU,
                                  from_packed_prefill, from_packed_prefill_tpu,
                                  from_packed_prefill_tpu4)
 from ..config import CompressionConfig, ModelConfig, QuantConfig, dtype_of
-from ..ops.attention import blocked_causal_attention
+from ..ops.attention import NEG_INF, blocked_causal_attention
 from ..policies.methods import LayerContext, compress_prefill
-from ..policies.scoring import NEG_INF as SCORE_NEG_INF
-
-NEG_INF = float(jnp.finfo(jnp.float32).min)
 
 
 # ---------------------------------------------------------------------------
@@ -109,9 +106,15 @@ def grouped_attention(
     k: jnp.ndarray,       # [B, Hk, Tk, D]  (Hk divides Hq)
     v: jnp.ndarray,       # [B, Hk, Tk, D]
     mask: jnp.ndarray,    # broadcastable to [B, Hq, Tq, Tk] boolean (True=keep)
+    return_probs: bool = False,
 ) -> jnp.ndarray:
     """GQA attention without materializing repeated K/V (repeat_kv stays
-    virtual — contrast llama_model.py:158-159 which tiles K/V to Hq)."""
+    virtual — contrast llama_model.py:158-159 which tiles K/V to Hq).
+
+    ``return_probs`` additionally returns the fp32 softmax probabilities
+    [B, Hk, G, Tq, Tk] (the decode-eviction path accumulates per-slot
+    attention mass from them — one implementation of the math, per the
+    repo's kernel-divergence lesson)."""
     B, Hq, Tq, D = q.shape
     Hk = k.shape[1]
     G = Hq // Hk
@@ -127,7 +130,10 @@ def grouped_attention(
     probs = jax.nn.softmax(logits, axis=-1)
     out = jnp.einsum("bhgqk,bhkd->bhgqd", probs.astype(v.dtype), v,
                      preferred_element_type=jnp.float32)
-    return out.reshape(B, Hq, Tq, D).astype(q.dtype)
+    out = out.reshape(B, Hq, Tq, D).astype(q.dtype)
+    if return_probs:
+        return out, probs
+    return out
 
 
 def swiglu_fused(x: jnp.ndarray, gate_up_w: jnp.ndarray,
@@ -295,7 +301,7 @@ def prefill(
                 cols = lax.broadcasted_iota(jnp.int32, win_sc.shape, 2)
                 window_scores = jnp.where(
                     cols >= (true_len[:, None, None] - comp.window_size),
-                    SCORE_NEG_INF, win_sc)
+                    NEG_INF, win_sc)
         else:
             # Blocked attention: O(q_block * S) memory, exact math — the
             # prompt attends over its FULL uncompressed K/V
@@ -358,6 +364,10 @@ def prefill(
     all_logits = (x @ lm_head).astype(jnp.float32) if return_all_logits else None
 
     if quant is not None:
+        # Same explicit rejection think_packed gets: silently building a
+        # quantized cache would drop the configured decode-stage eviction.
+        assert not comp.decode_evict, \
+            "decode_evict composes with the dense cache only, not quant"
         if _quant_tpu_layout(quant, D, cache_capacity):
             make_tpu_cache = (from_packed_prefill_tpu4 if quant.nbits == 4
                               else from_packed_prefill_tpu)
@@ -459,6 +469,9 @@ def decode_step(
     use_pallas = (attn_backend == "pallas" and not quantized
                   and not quantized_tpu and not quantized_tpu4 and not evicting
                   and not thinkc and not offloaded
+                  # sliding-window decode masking lives on the XLA paths
+                  # (the kernels mask by length only)
+                  and cfg.sliding_window is None
                   and D % 128 == 0   # kernel needs lane-aligned head_dim
                   and C % 16 == 0 and C >= 32)  # tile-aligned capacity
 
@@ -469,6 +482,25 @@ def decode_step(
     freqs = pos[:, None].astype(jnp.float32) * inv_freq[None]  # [B, d/2]
     emb = jnp.concatenate([freqs, freqs], axis=-1)[:, None]  # [B, 1, d]
     cos, sin = jnp.cos(emb), jnp.sin(emb)
+
+    def decode_mask(lens):
+        """[B, H] post-append lengths -> [B, H, 1, C] attention mask.
+
+        Applies cfg.sliding_window at decode (HF Mistral/Qwen2 mask keys
+        older than the window when generating too, mistral prefill parity)
+        — but only for rows where the cache index IS the absolute position
+        (lens == tokens seen, i.e. fullkv or the no-compress branch).
+        Compressed rows keep entries selected by importance; their source
+        positions are not stored, and the budget already bounds them.
+        """
+        m = valid_mask(lens, C)  # [B, H, C]
+        if cfg.sliding_window is not None:
+            identity = lens == (pos + 1)[:, None]
+            lo = jnp.where(identity,
+                           jnp.maximum(lens - cfg.sliding_window, 0), 0)
+            cidx = jnp.arange(C, dtype=jnp.int32)[None, None]
+            m = m & (cidx >= lo[..., None])
+        return m[:, :, None, :]
 
     def qkv_rope(x, lp):
         h = rms_norm(x, lp["input_norm"], cfg.rms_norm_eps)
@@ -651,12 +683,19 @@ def decode_step(
             if ring:
                 # fp residual ring (quantcache.py:59-96 semantics): the new
                 # token also lands in the ring at slot ``row % R``; reads of
-                # the last R rows take the exact fp values below.
+                # the last R rows take the exact fp values below.  At a FULL
+                # cache the code scatter above drops the token (mode="drop"
+                # at index lens == C) — the ring write must drop too: slot
+                # C % R == (C-R) % R still backs row C-R inside the recent
+                # read window, and an unguarded write would replace that
+                # row's exact-fp copy with the dropped token's K/V.
                 rk_a, rv_a = ring
                 R = rk_a.shape[3]
-                rslot = lens % R
-                rk_a = rk_a.at[li, bi, hi, rslot].set(k.astype(dtype)[:, :, 0])
-                rv_a = rv_a.at[li, bi, hi, rslot].set(v.astype(dtype)[:, :, 0])
+                rslot = jnp.where(lens < C, lens % R, R)  # R = out of range
+                rk_a = rk_a.at[li, bi, hi, rslot].set(
+                    k.astype(dtype)[:, :, 0], mode="drop")
+                rv_a = rv_a.at[li, bi, hi, rslot].set(
+                    v.astype(dtype)[:, :, 0], mode="drop")
                 ring = (rk_a, rv_a)
             lens = jnp.minimum(lens + 1, C)
             k_read = decode_values(slice_l(qk_a, li), slice_l(ks_a, li),
@@ -672,7 +711,7 @@ def decode_step(
                                    k_read)
                 v_read = jnp.where(recent, jnp.take(rv_l, cidx % R, axis=2),
                                    v_read)
-            mask = valid_mask(lens, C)[:, :, None, :]  # [B, H, 1, C]
+            mask = decode_mask(lens)  # [B, H, 1, C]
             attn = grouped_attention(q, k_read, v_read, mask)
             lens_all = lax.dynamic_update_index_in_dim(lens_all, lens, li, 0)
             stacks = (qk_a, qv_a, ks_a, kz_a, vs_a, vz_a, lens_all) + ring
@@ -766,21 +805,10 @@ def decode_step(
 
             k_cache = slice_l(k_a, li)
             v_cache = slice_l(v_a, li)
-            mask = valid_mask(lens, C)[:, :, None, :]
-            Hk = k_cache.shape[1]
-            Gq = Hq // Hk
-            qg = q.reshape(B, Hk, Gq, 1, D)
-            logits_a = jnp.einsum("bhgqd,bhkd->bhgqk", qg, k_cache,
-                                  preferred_element_type=jnp.float32)
-            logits_a = logits_a / jnp.sqrt(jnp.asarray(D, jnp.float32))
-            maskg = mask.reshape(B, Hk, 1, 1, C) if mask.shape[1] == Hk \
-                else mask[:, :, None]
-            logits_a = jnp.where(maskg, logits_a, NEG_INF)
-            probs = jax.nn.softmax(logits_a, axis=-1)  # [B,Hk,Gq,1,C]
-            sc = sc + jnp.sum(probs[:, :, :, 0, :], axis=2)
-            out = jnp.einsum("bhgqk,bhkd->bhgqd", probs.astype(v_cache.dtype),
-                             v_cache, preferred_element_type=jnp.float32)
-            attn = out.reshape(B, Hq, 1, D).astype(q.dtype)
+            attn, probs = grouped_attention(q, k_cache, v_cache,
+                                            decode_mask(lens),
+                                            return_probs=True)
+            sc = sc + jnp.sum(probs[:, :, :, 0, :], axis=2)  # [B,Hk,C] mass
             sc_a = lax.dynamic_update_index_in_dim(sc_a, sc, li, 0)
             lens_all = lax.dynamic_update_index_in_dim(lens_all, lens, li, 0)
             stacks = (k_a, v_a, sc_a, st_a, lens_all)
@@ -792,7 +820,7 @@ def decode_step(
             v_a = v_a.at[li, bi, hi, lens].set(
                 v.astype(dtype)[:, :, 0], mode="drop")
             lens = jnp.minimum(lens + 1, C)
-            mask = valid_mask(lens, C)[:, :, None, :]  # [B, H, 1, C]
+            mask = decode_mask(lens)  # [B, H, 1, C]
             attn = grouped_attention(q, slice_l(k_a, li), slice_l(v_a, li),
                                      mask)
             lens_all = lax.dynamic_update_index_in_dim(lens_all, lens, li, 0)

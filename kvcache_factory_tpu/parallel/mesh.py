@@ -68,6 +68,10 @@ def make_mesh(cfg: ShardingConfig, devices=None) -> Mesh:
     assert len(devices) >= n, f"need {n} devices, have {len(devices)}"
     shape = (cfg.dp, cfg.ep, cfg.tp) if cfg.ep > 1 else (cfg.dp, cfg.tp)
     if cfg.dcn_dp > 1 and jax.process_count() > 1:
+        if cfg.dp % cfg.dcn_dp != 0:
+            raise ValueError(
+                f"dp={cfg.dp} must be divisible by dcn_dp={cfg.dcn_dp} (the "
+                "inter-host ways are peeled off the dp axis)")
         ici = (cfg.dp // cfg.dcn_dp,) + shape[1:]
         dcn = (cfg.dcn_dp,) + (1,) * (len(shape) - 1)
         arr = mesh_utils.create_hybrid_device_mesh(

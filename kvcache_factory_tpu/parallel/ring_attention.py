@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-NEG_INF = float(jnp.finfo(jnp.float32).min)
+from ..ops.attention import NEG_INF  # canonical mask constant
 
 
 def ring_attention(
@@ -48,9 +48,7 @@ def ring_attention(
     qg = q.reshape(B, Hkv, G, S_loc, D)
     rows = my * S_loc + lax.broadcasted_iota(jnp.int32, (S_loc, S_loc), 0)
 
-    def step(i, carry):
-        m, l, acc, kv = carry
-        k_blk, v_blk = kv
+    def fold(i, m, l, acc, k_blk, v_blk):
         src = (my - i) % n  # ring: after i hops we hold shard `src`
         logits = jnp.einsum("bhgqd,bhkd->bhgqk", qg, k_blk,
                             preferred_element_type=jnp.float32) * scale
@@ -64,17 +62,25 @@ def ring_attention(
         l_new = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
         pv = jnp.einsum("bhgqk,bhkd->bhgqd", p.astype(v_blk.dtype), v_blk,
                         preferred_element_type=jnp.float32)
-        acc_new = acc * alpha + pv
+        return m_new, l_new, acc * alpha + pv
 
+    def step(i, carry):
+        m, l, acc, kv = carry
+        k_blk, v_blk = kv
+        m, l, acc = fold(i, m, l, acc, k_blk, v_blk)
         perm = [(j, (j + 1) % n) for j in range(n)]
         kv_next = (lax.ppermute(k_blk, axis_name, perm),
                    lax.ppermute(v_blk, axis_name, perm))
-        return m_new, l_new, acc_new, kv_next
+        return m, l, acc, kv_next
 
     m0 = jnp.full((B, Hkv, G, S_loc, 1), NEG_INF, jnp.float32)
     l0 = jnp.zeros((B, Hkv, G, S_loc, 1), jnp.float32)
     acc0 = jnp.zeros((B, Hkv, G, S_loc, D), jnp.float32)
-    m, l, acc, _ = lax.fori_loop(0, n, step, (m0, l0, acc0, (k, v)))
+    # n-1 fold+permute hops, then a final fold with NO trailing permute —
+    # the n-th ppermute's result was discarded (two wasted ICI transfers of
+    # full K/V shards per call).
+    m, l, acc, kv = lax.fori_loop(0, n - 1, step, (m0, l0, acc0, (k, v)))
+    m, l, acc = fold(n - 1, m, l, acc, *kv)
 
     l_safe = jnp.where(l == 0.0, 1.0, l)
     out = (acc / l_safe).reshape(B, Hq, S_loc, D)

@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-NEG_INF = float(jnp.finfo(jnp.float32).min)
+from ..ops.attention import NEG_INF  # canonical mask constant
 
 
 def pool1d(scores: jnp.ndarray, kernel_size: int, pooling: str) -> jnp.ndarray:

@@ -473,3 +473,34 @@ def test_min_new_tokens_suppresses_eos(llama_setup):
     # EOS must not occur before position min_new_tokens-1 (0-indexed interior)
     assert eos_tok not in out[:3].tolist(), out
     assert int(res.num_tokens[0]) >= 4
+
+
+def test_mistral_sliding_window_decode_matches_hf():
+    """Decode steps past the window must mask old keys like HF's FORWARD
+    pass does (decode previously attended to the full cache).  Oracle is a
+    teacher-forced HF full forward: HF's own generate() disagrees with its
+    own forward for the first post-prefill token under sliding window (its
+    cache path masks differently), so forward semantics — what the model
+    was trained with — are the ground truth here."""
+    model, cfg, params = tiny_hf_llama(3, sliding_window=16)
+    S, new = 40, 6
+    rng = np.random.default_rng(9)
+    toks = rng.integers(0, cfg.vocab_size, size=(1, S))
+    cont = rng.integers(0, cfg.vocab_size, size=(1, new))
+    full = np.concatenate([toks, cont], axis=1)
+
+    with torch.no_grad():
+        hf_logits = model(torch.tensor(full)).logits.numpy()  # [1, S+new, V]
+
+    pre = jl.prefill(params, cfg, FULL, jnp.asarray(toks, jnp.int32),
+                     jnp.asarray([S], jnp.int32), cache_capacity=S + new)
+    np.testing.assert_allclose(np.asarray(pre.logits_last)[0],
+                               hf_logits[0, S - 1], rtol=2e-4, atol=2e-4)
+    cache = pre.cache
+    for i in range(new):
+        lg, cache = jl.decode_step(params, cfg,
+                                   jnp.asarray(full[:, S + i], jnp.int32),
+                                   cache)
+        np.testing.assert_allclose(np.asarray(lg)[0], hf_logits[0, S + i],
+                                   rtol=2e-4, atol=2e-4,
+                                   err_msg=f"decode step {i}")
