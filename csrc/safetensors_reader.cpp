@@ -72,7 +72,9 @@ int64_t kvcf_st_size(void* h) {
 int32_t kvcf_st_read(void* h, uint64_t offset, uint64_t len, void* dst,
                      int32_t threads) {
   auto* mf = static_cast<MappedFile*>(h);
-  if (offset + len > mf->size) return -1;
+  // Overflow-safe bounds check: offsets come from the file's UNTRUSTED JSON
+  // header; `offset + len` can wrap uint64 and slip past a naive check.
+  if (offset > mf->size || len > mf->size - offset) return -1;
   const uint8_t* src = mf->data + offset;
   if (threads <= 1 || len < (8u << 20)) {
     std::memcpy(dst, src, len);

@@ -109,6 +109,9 @@ int32_t kvcf_sched_admit(void* h, int64_t* out) {
 int32_t kvcf_sched_step(void* h, int32_t slot, int32_t hit_eos) {
   auto* s = static_cast<Scheduler*>(h);
   std::lock_guard<std::mutex> lock(s->mu);
+  // Reject out-of-range slots: an invalid index here is caller error, and
+  // unchecked s->slots[slot] is heap corruption.
+  if (slot < 0 || static_cast<size_t>(slot) >= s->slots.size()) return 0;
   Slot& sl = s->slots[slot];
   if (!sl.active) return 0;
   sl.generated += 1;

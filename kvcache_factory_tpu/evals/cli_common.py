@@ -51,7 +51,10 @@ def add_engine_args(ap: argparse.ArgumentParser) -> None:
                          "quantized cache (reference sets output_max_len, "
                          "run_longbench.py:283; 0 disables)")
     ap.add_argument("--prefill_buckets", type=int, nargs="*",
-                    default=[512, 1024, 2048, 4096, 8192])
+                    # must reach MODEL2MAXLEN's mistral ceiling (31500) or
+                    # mid-run prompts raise 'exceeds largest bucket'; unused
+                    # buckets cost nothing (compiled only on first use)
+                    default=[512, 1024, 2048, 4096, 8192, 16384, 32768])
 
 
 def compression_from_args(args) -> CompressionConfig:

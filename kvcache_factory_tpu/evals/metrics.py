@@ -121,10 +121,14 @@ def code_sim_score(prediction: str, ground_truth: str, **kw) -> float:
 
 def classification_score(prediction: str, ground_truth: str, **kw) -> float:
     matches = [c for c in kw["all_classes"] if c in prediction]
-    # Drop classes that are substrings of the ground truth but not it
-    # (reference removes-while-iterating; equivalent filter here since each
-    # element is examined once, metrics.py:95-97).
-    matches = [m for m in matches if not (m in ground_truth and m != ground_truth)]
+    # Reference removes WHILE iterating (metrics.py:95-97): removing element
+    # i advances the iterator past the element that slides into position i,
+    # so consecutive ground-truth substrings are only removed at even runs.
+    # A plain filter is NOT equivalent (it removes all of them, inflating
+    # scores) — replicate the quirk exactly for score comparability.
+    for m in matches:  # list mutated during iteration, as in the reference
+        if m in ground_truth and m != ground_truth:
+            matches.remove(m)
     if ground_truth in matches:
         return 1.0 / len(matches)
     return 0.0

@@ -200,7 +200,9 @@ def main(argv=None):
     ap.add_argument("--results_dir", type=str, default="results_needle")
     ap.add_argument("--s_len", type=int, default=1000)
     ap.add_argument("--e_len", type=int, default=8001)
-    ap.add_argument("--step", type=int, default=100)
+    # 1000 matches the reference CLI default (run_needle_in_haystack.py:507);
+    # the paper's fine sweep used --step 100 via scripts_needle/eval.sh.
+    ap.add_argument("--step", type=int, default=1000)
     ap.add_argument("--save_contexts", action="store_true")
     args = ap.parse_args(argv)
 

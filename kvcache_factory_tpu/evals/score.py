@@ -72,17 +72,38 @@ def _read_preds(path: str):
     predictions, answers, lengths, all_classes = [], [], [], None
     with open(path, encoding="utf-8") as f:
         for line in f:
+            # Per-record robustness like the reference (eval.py:140-148 bare
+            # except inside the loop): one truncated record from a killed run
+            # must not nuke the file's score to -1 — skip it and keep the
+            # remaining records.
             try:
                 d = json.loads(line)
-            except json.JSONDecodeError:
+                pred, ans = d["pred"], d["answers"]
+            except Exception:
                 print("error")
                 continue
-            predictions.append(d["pred"])
-            answers.append(d["answers"])
+            predictions.append(pred)
+            answers.append(ans)
             all_classes = d.get("all_classes")
             if "length" in d:
                 lengths.append(d["length"])
     return predictions, answers, lengths, all_classes
+
+
+def _find_method_file(results_dir: str, dataset: str, method: str):
+    """Scoreboard rows are capitalized (FullKV, SnapKV — eval.py:99-110) but
+    the runners write the lowercase CLI method verbatim; match the prediction
+    file case-insensitively so repo-default runs actually score."""
+    d = os.path.join(results_dir, dataset)
+    exact = os.path.join(d, f"{method}.json")
+    if os.path.exists(exact):
+        return exact
+    want = f"{method.lower()}.json"
+    if os.path.isdir(d):
+        for name in os.listdir(d):
+            if name.lower() == want:
+                return os.path.join(d, name)
+    return exact  # let the open() raise for the missing-file -1 path
 
 
 def score_results_dir(results_dir: str, suite: str = "longbench",
@@ -96,7 +117,7 @@ def score_results_dir(results_dir: str, suite: str = "longbench",
     for dataset in datasets:
         rows[0].append(dataset)
         for idx, method in enumerate(methods):
-            eval_file = os.path.join(results_dir, dataset, f"{method}.json")
+            eval_file = _find_method_file(results_dir, dataset, method)
             try:
                 preds, answers, lengths, all_classes = _read_preds(eval_file)
                 if suite == "ruler":

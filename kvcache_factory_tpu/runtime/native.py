@@ -143,6 +143,10 @@ class PyScheduler:
 
     def step(self, slot: int, hit_eos: bool) -> bool:
         with self._mu:
+            # Reject out-of-range slots (negative Python indexing would
+            # silently hit the LAST slot; the native core rejects them too).
+            if not 0 <= slot < len(self._slots):
+                return False
             st = self._slots[slot]
             if st is None:
                 return False
@@ -257,8 +261,10 @@ class SafetensorsFile:
             if rc != 0:
                 raise OSError("tensor read out of range")
         else:
-            out[:] = np.frombuffer(
-                self._mm[self._data_off + begin:self._data_off + end], np.uint8)
+            # Single copy: slicing the mmap first materializes an n-byte
+            # bytes object (a second full copy for multi-GB shards).
+            out[:] = np.frombuffer(self._mm, np.uint8, count=n,
+                                   offset=self._data_off + begin)
         if dt == "bfloat16":
             import ml_dtypes
             arr = out.view(ml_dtypes.bfloat16)

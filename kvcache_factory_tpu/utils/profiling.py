@@ -52,6 +52,14 @@ class PhaseTimer:
         finally:
             if outputs is not None:
                 jax.block_until_ready(outputs)
+                # The axon TPU tunnel's block_until_ready does not reliably
+                # wait (CLAUDE.md timing rule) — force a host readback of one
+                # leaf so the phase really covers the device work.
+                import numpy as _np
+                for leaf in jax.tree.leaves(outputs):
+                    if hasattr(leaf, "shape"):
+                        _np.asarray(leaf[(0,) * leaf.ndim])  # one scalar D2H
+                        break
             dt = time.perf_counter() - t0
             self.phases.setdefault(name, []).append(dt)
             if num_tokens:

@@ -21,9 +21,8 @@ import numpy as np
 
 from ..config import ModelConfig
 from ..models.llama import (_causal_mask, _merge_heads, _split_heads,
-                            apply_rope, rms_norm, rope_tables, swiglu_fused)
-
-NEG_INF = float(jnp.finfo(jnp.float32).min)
+                            apply_rope, grouped_attention, rms_norm,
+                            rope_tables, swiglu_fused)
 
 
 def infer_attention(params, cfg: ModelConfig, tokens: np.ndarray,
@@ -57,17 +56,11 @@ def infer_attention(params, cfg: ModelConfig, tokens: np.ndarray,
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
 
-        qg = q.reshape(B, Hkv, G, S, D)
-        logits = jnp.einsum("bhgqd,bhkd->bhgqk", qg, k,
-                            preferred_element_type=jnp.float32)
-        logits = logits / jnp.sqrt(jnp.asarray(D, jnp.float32))
-        logits = jnp.where(mask[:, :, None], logits, NEG_INF)
-        probs = jax.nn.softmax(logits, axis=-1)  # [B, Hkv, G, S, S]
+        # One implementation of the attention math (grouped_attention,
+        # models/llama.py) — the viz maps must show what the model computes.
+        out, probs = grouped_attention(q, k, v, mask, return_probs=True)
         maps.append(np.asarray(probs.reshape(Hq, S, S)) * scale)
-
-        out = jnp.einsum("bhgqk,bhkd->bhgqd", probs, v,
-                         preferred_element_type=jnp.float32)
-        h = _merge_heads(out.reshape(B, Hq, S, D)) @ lp["o_proj"]
+        h = _merge_heads(out) @ lp["o_proj"]
         if "o_bias" in lp:
             h = h + lp["o_bias"]
         x = x + h

@@ -37,6 +37,8 @@ CELLS = [
     ("evict",       {"decode_evict": True, "eviction_recent": 16}, None),
     ("think_packed", {"method": "think", "think_packed": True,
                       "pruning_ratio": 0.4, "recent_size": 32}, None),
+    # sliding-window models take the XLA decode path (window masking)
+    ("sliding_win",  {"method": "fullkv"}, None),
 ]
 
 failures = []
@@ -48,16 +50,19 @@ for group in ("none", "mean"):
                   kernel_size=7, pooling="maxpool", group_reduce=group)
         kw.update(extra)
         comp = CompressionConfig(**kw)
+        import dataclasses
+        mcfg = (dataclasses.replace(cfg, sliding_window=128)
+                if label == "sliding_win" else cfg)
         try:
             # 512 = 256-aligned so the Pallas int8/int4 kernel layouts
             # engage (_quant_tpu_layout); unaligned capacities take the XLA
             # quant path, which the int8+resid cell already covers.
-            pre = llama.prefill(params, cfg, comp, tokens, true_len,
+            pre = llama.prefill(params, mcfg, comp, tokens, true_len,
                                 cache_capacity=512, quant=quant)
             tok = jnp.argmax(pre.logits_last, axis=-1).astype(jnp.int32)
             cache = pre.cache
             step = jax.jit(lambda t, c: llama.decode_step(
-                params, cfg, t, c, quant=quant,
+                params, mcfg, t, c, quant=quant,
                 eviction_recent=comp.eviction_recent))
             for _ in range(3):
                 logits, cache = step(tok, cache)
