@@ -350,11 +350,22 @@ class ShardingConfig:
     """Device-mesh layout. ``dp`` shards batch, ``tp`` shards heads/ffn,
     ``ep`` shards the MoE expert axis (expert parallel; only meaningful for
     MoE models — each ep shard computes its local experts on all tokens and
-    XLA all-reduces the weighted combine)."""
+    XLA all-reduces the weighted combine).
+
+    ``sp`` is sequence/context parallelism for PREFILL: the prompt's token
+    axis is sharded over ``sp`` devices and attention runs as ring attention
+    over ICI (parallel/ring_attention.py), so one prompt's prefill compute
+    and activation memory split across chips — context beyond a single
+    chip's HBM (the reference truncates the prompt middle instead,
+    run_longbench.py:199-205).  Weights are replicated over sp; the packed
+    compressed cache is tiny and decode proceeds as usual.  sp is a
+    dedicated mesh (prefill-bound deployments); it does not compose with
+    dp/tp/ep in one config."""
 
     dp: int = 1
     tp: int = 1
     ep: int = 1
+    sp: int = 1
     # Multi-host: how many of the ``dp`` ways ride DCN (across hosts) rather
     # than ICI.  dp has no collectives during inference (independent batch
     # shards), so it is the axis that belongs on the slow inter-host fabric;
@@ -365,6 +376,9 @@ class ShardingConfig:
     def __post_init__(self):
         if self.dp % self.dcn_dp != 0:
             raise ValueError("dcn_dp must divide dp")
+        if self.sp > 1 and self.dp * self.tp * self.ep > 1:
+            raise ValueError("sp is a dedicated prefill mesh; it does not "
+                             "compose with dp/tp/ep in one config")
 
     @property
     def axis_names(self) -> Tuple[str, ...]:
@@ -379,6 +393,12 @@ class EngineConfig:
     generation: GenerationConfig = field(default_factory=GenerationConfig)
     sharding: ShardingConfig = field(default_factory=ShardingConfig)
     prefill_buckets: Tuple[int, ...] = (512, 1024, 2048, 4096, 8192)
+    # Budget as a FRACTION of the prompt length (reference
+    # --max_capacity_prompts_ratio, run_longbench.py:215-216:
+    # ``cap = round(prompt_len * ratio)``).  Static shapes make this
+    # per-bucket here: cap = round(bucket * ratio), window follows the
+    # method table (streamingllm window = cap - 4).  None = absolute budget.
+    capacity_ratio: Optional[float] = None
 
     def replace(self, **kw) -> "EngineConfig":
         return dataclasses.replace(self, **kw)

@@ -24,7 +24,15 @@ def add_engine_args(ap: argparse.ArgumentParser) -> None:
     ap.add_argument("--model_path", type=str, required=True,
                     help="HF checkpoint directory (config.json + safetensors)")
     ap.add_argument("--method", type=str, default="fullkv")
-    ap.add_argument("--max_capacity_prompts", type=int, default=512)
+    ap.add_argument("--max_capacity_prompts", type=int, default=-1,
+                    help="absolute KV budget per layer; -1 defers to "
+                         "--max_capacity_prompts_ratio (512 if both unset). "
+                         "Absolute wins when both are set "
+                         "(run_longbench.py:213-216 precedence)")
+    ap.add_argument("--max_capacity_prompts_ratio", type=float, default=-1,
+                    help="budget as a fraction of the prompt bucket: "
+                         "cap = round(bucket * ratio) "
+                         "(reference run_longbench.py:215-216)")
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--merge", type=str, default=None)
     ap.add_argument("--floor", type=float, default=0.2,
@@ -55,11 +63,43 @@ def add_engine_args(ap: argparse.ArgumentParser) -> None:
                     # mid-run prompts raise 'exceeds largest bucket'; unused
                     # buckets cost nothing (compiled only on first use)
                     default=[512, 1024, 2048, 4096, 8192, 16384, 32768])
+    # Parallelism (reference contrast: its only multi-device path is HF
+    # accelerate layer placement, run_longbench.py:390).  dp shards the batch,
+    # tp shards heads/FFN Megatron-style, ep shards MoE experts; the engine
+    # builds the mesh and shards weights when dp*tp*ep > 1 (parallel/mesh.py).
+    ap.add_argument("--dp", type=int, default=1,
+                    help="data-parallel ways (batch sharding)")
+    ap.add_argument("--tp", type=int, default=1,
+                    help="tensor-parallel ways (heads/FFN sharding)")
+    ap.add_argument("--ep", type=int, default=1,
+                    help="expert-parallel ways (MoE models only)")
+    ap.add_argument("--dcn_dp", type=int, default=1,
+                    help="of the dp ways, how many cross hosts over DCN")
+
+
+def resolve_capacity(args):
+    """Reference precedence (run_longbench.py:213-216): absolute budget wins;
+    else ratio mode; else the reference's default 512.  Returns
+    (capacity_for_config, capacity_ratio_or_None)."""
+    cap = args.max_capacity_prompts
+    ratio = getattr(args, "max_capacity_prompts_ratio", -1)
+    if cap != -1:
+        return cap, None
+    if ratio != -1:
+        if args.method.lower() == "headkv":
+            raise ValueError(
+                "headkv needs an absolute --max_capacity_prompts (the "
+                "reference's head-capacity pool formula uses it directly, "
+                "run_longbench.py:231-232)")
+        # placeholder; the engine resolves round(bucket * ratio) per bucket
+        return 512, ratio
+    return 512, None
 
 
 def compression_from_args(args) -> CompressionConfig:
     from .longbench import method_hyperparams
-    hp = method_hyperparams(args.method, args.max_capacity_prompts)
+    cap, _ = resolve_capacity(args)
+    hp = method_hyperparams(args.method, cap)
     sparse_prefill = None
     if args.method.lower() == "minference":
         # MInference's flagship vertical-slash pattern (block-granular);
@@ -69,7 +109,7 @@ def compression_from_args(args) -> CompressionConfig:
     return CompressionConfig(
         method=args.method.lower(),
         sparse_prefill=sparse_prefill,
-        max_capacity_prompt=args.max_capacity_prompts,
+        max_capacity_prompt=cap,
         window_size=hp.get("window_size", 32),
         kernel_size=hp.get("kernel_size", 7),
         pooling=hp.get("pooling", "maxpool"),
@@ -89,14 +129,20 @@ def build_engine_from_args(args) -> Tuple[InferenceEngine, object, str]:
                                               padding_side="left")
     params, model_cfg = load_params(args.model_path)
     comp = compression_from_args(args)
+    cap, capacity_ratio = resolve_capacity(args)
 
     head_capacity = None
     if args.method.lower() == "headkv":
         from .longbench import headkv_capacities
+        if not os.path.exists(args.head_path):
+            raise FileNotFoundError(
+                f"--head_path {args.head_path} not found; generate a "
+                "synthetic head-score file with `python tools/fetch_data.py "
+                "--heads --synthetic` (or drop in real probing scores, "
+                "reference data/heads_score schema)")
         head_capacity = headkv_capacities(
             args.head_path, model_cfg.num_hidden_layers,
-            model_cfg.num_attention_heads, args.max_capacity_prompts,
-            args.head_beta)
+            model_cfg.num_attention_heads, cap, args.head_beta)
 
     quant = None
     if args.quant_method == "kvquant":
@@ -104,7 +150,16 @@ def build_engine_from_args(args) -> Tuple[InferenceEngine, object, str]:
         quant = QuantConfig(nbits=args.nbits,
                             residual_length=args.residual_length)
 
+    from ..config import ShardingConfig
+    sharding = ShardingConfig(dp=getattr(args, "dp", 1),
+                              tp=getattr(args, "tp", 1),
+                              ep=getattr(args, "ep", 1),
+                              dcn_dp=getattr(args, "dcn_dp", 1))
+    if sharding.dp * sharding.tp * sharding.ep > 1:
+        from ..parallel.mesh import init_distributed
+        init_distributed()  # no-op on single host
     cfg = EngineConfig(model=model_cfg, compression=comp, quant=quant,
+                       sharding=sharding, capacity_ratio=capacity_ratio,
                        prefill_buckets=tuple(args.prefill_buckets))
     engine = InferenceEngine(params, cfg, head_capacity=head_capacity,
                              rng=jax.random.PRNGKey(args.seed))

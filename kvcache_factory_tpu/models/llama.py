@@ -237,10 +237,23 @@ def prefill(
     head_capacity: Optional[jnp.ndarray] = None,  # [L, H] int32 (HeadKV)
     return_all_logits: bool = False,
     quant: Optional[QuantConfig] = None,
+    attn_backend: str = "auto",  # "auto" | "pallas" | "xla"
+    sp_mesh=None,                # jax.sharding.Mesh with an `sp` axis
+    sp_axis: str = "sp",
 ) -> PrefillResult:
     """Full prefill: attention over the uncompressed prompt (reference runs
     flash attention over full K/V, llama_model.py:2243-2245), compression hook
-    between QKV computation and the cache write (SURVEY.md §1 key fact)."""
+    between QKV computation and the cache write (SURVEY.md §1 key fact).
+
+    Sequence parallelism (``sp_mesh``): tokens arrive sharded over the
+    ``sp_axis`` of the mesh; attention runs as ring attention over that axis
+    (parallel/ring_attention.py — K/V shards circulate via ppermute while
+    every device folds its online-softmax partials), so prefill compute and
+    activations for ONE prompt split across chips.  The compression hook
+    operates on the logically-global K/Q/V (GSPMD inserts the gathers; the
+    packed output is `capacity` rows, tiny next to the prompt).  The
+    reference has no sequence scaling at all — it truncates the prompt
+    middle (run_longbench.py:199-205; SURVEY.md §2.6)."""
     B, S = tokens.shape
     L = cfg.num_hidden_layers
     dtype = dtype_of(cfg)
@@ -262,10 +275,20 @@ def prefill(
     # The Pallas flash path computes attention AND emits the observation-
     # window scores in one kernel (north-star; ops/kernels/flash_prefill.py);
     # score-reusing methods then skip their separate scoring matmul.
-    use_flash = (jax.default_backend() in ("tpu", "axon") and D % 128 == 0
+    # "xla" forces the blocked path: GSPMD cannot auto-partition pallas_call,
+    # so multi-device meshes (engine-wired dp/tp/ep) run the XLA paths; the
+    # Pallas kernels stay the single-chip default.
+    use_flash = (attn_backend != "xla" and sp_mesh is None
+                 and jax.default_backend() in ("tpu", "axon") and D % 128 == 0
                  and cfg.sliding_window is None
                  and (comp.method != "fullkv"
                       or comp.sparse_prefill is not None))
+    sp_ring = None
+    if sp_mesh is not None:
+        assert cfg.sliding_window is None, \
+            "ring attention does not implement sliding-window masking"
+        from ..parallel.ring_attention import make_ring_attention
+        sp_ring = make_ring_attention(sp_mesh, sp_axis)
     scores_reusable = comp.method in ("snapkv", "pyramidkv", "think",
                                       "adakv", "headkv")
 
@@ -282,7 +305,9 @@ def prefill(
         k = apply_rope(k, cos, sin)
 
         window_scores = None
-        if use_flash:
+        if sp_ring is not None:
+            attn = sp_ring(q, k, v, true_len.astype(jnp.int32))
+        elif use_flash:
             from ..ops.kernels.flash_prefill import flash_prefill_attention
             # One kernel call per example (B is small in eval/serving
             # prefill; the per-example true_len rides scalar prefetch, which

@@ -73,9 +73,13 @@ def ring_attention(
                    lax.ppermute(v_blk, axis_name, perm))
         return m, l, acc, kv_next
 
-    m0 = jnp.full((B, Hkv, G, S_loc, 1), NEG_INF, jnp.float32)
-    l0 = jnp.zeros((B, Hkv, G, S_loc, 1), jnp.float32)
-    acc0 = jnp.zeros((B, Hkv, G, S_loc, D), jnp.float32)
+    # pvary: the zero/neg-inf carries are device-invariant at init but the
+    # loop writes device-varying values into them — mark them varying over
+    # the ring axis up front (shard_map vma typing, jax >= 0.8).
+    m0 = lax.pvary(jnp.full((B, Hkv, G, S_loc, 1), NEG_INF, jnp.float32),
+                   axis_name)
+    l0 = lax.pvary(jnp.zeros((B, Hkv, G, S_loc, 1), jnp.float32), axis_name)
+    acc0 = lax.pvary(jnp.zeros((B, Hkv, G, S_loc, D), jnp.float32), axis_name)
     # n-1 fold+permute hops, then a final fold with NO trailing permute —
     # the n-th ppermute's result was discarded (two wasted ICI transfers of
     # full K/V shards per call).
@@ -89,7 +93,7 @@ def ring_attention(
 
 def make_ring_attention(mesh, axis_name: str = "sp"):
     """shard_map-wrapped ring attention over ``axis_name`` of ``mesh``."""
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
     return shard_map(
@@ -99,5 +103,4 @@ def make_ring_attention(mesh, axis_name: str = "sp"):
                   P(None, None, axis_name, None),
                   P(None, None, axis_name, None), P(None)),
         out_specs=P(None, None, axis_name, None),
-        check_rep=False,
     )

@@ -5,6 +5,13 @@ per-layer hooks; here each (prompt-bucket, max_new_tokens) pair compiles once
 and is reused across the whole evaluation run — prompt lengths are padded up
 to the nearest bucket and masked via ``true_len`` (bit-identical results to
 exact-length runs; see tests/test_policies.py padding-invariance tests).
+
+Parallelism (reference contrast: its only multi-device path is HF accelerate
+layer placement, run_longbench.py:390): when ``cfg.sharding`` spans more than
+one device, the engine builds the (dp[, ep], tp) mesh, shards the weights
+Megatron-style (parallel/mesh.py), shards the batch over ``dp``, and runs the
+same jitted ``generate`` under the mesh — GSPMD inserts the collectives.
+Outputs are bit-identical to single-device runs (tests/test_engine_sharded.py).
 """
 
 from __future__ import annotations
@@ -26,12 +33,40 @@ class InferenceEngine:
     def __init__(self, params, cfg: EngineConfig,
                  head_capacity: Optional[np.ndarray] = None,
                  rng: Optional[jax.Array] = None):
-        self.params = params
         self.cfg = cfg
         self.head_capacity = (None if head_capacity is None
                               else jnp.asarray(head_capacity, jnp.int32))
         self.rng = rng if rng is not None else jax.random.PRNGKey(0)
         self.buckets = sorted(cfg.prefill_buckets)
+
+        sh = cfg.sharding
+        self.mesh = None
+        self.sp_mesh = None
+        self.dp = 1
+        if sh.dp * sh.tp * sh.ep > 1:
+            from ..parallel.mesh import make_mesh, shard_params
+            self.mesh = make_mesh(sh)
+            params = shard_params(params, self.mesh, cfg.model)
+            self.dp = sh.dp
+        elif sh.sp > 1:
+            # Sequence-parallel prefill: one prompt's token axis splits over
+            # sp devices, ring attention over ICI; weights replicated.
+            from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+            devices = jax.devices()[:sh.sp]
+            assert len(devices) == sh.sp, f"need {sh.sp} devices"
+            bad = [b for b in self.buckets if b % sh.sp]
+            if bad:
+                raise ValueError(f"prefill buckets {bad} not divisible by "
+                                 f"sp={sh.sp} (sequence shards must be equal)")
+            self.sp_mesh = Mesh(np.asarray(devices), ("sp",))
+            params = jax.device_put(
+                params, NamedSharding(self.sp_mesh, P()))  # replicate
+        self.params = params
+        # GSPMD cannot auto-partition pallas_call: multi-device meshes run
+        # the XLA attention paths (single-chip keeps the Pallas kernels).
+        self.attn_backend = ("xla" if (self.mesh is not None
+                                       or self.sp_mesh is not None)
+                             else "auto")
 
     def _bucket(self, n: int) -> int:
         i = bisect.bisect_left(self.buckets, n)
@@ -40,25 +75,90 @@ class InferenceEngine:
                              f"{self.buckets[-1]}")
         return self.buckets[i]
 
-    def generate_ids(self, prompt_ids: Sequence[int], max_new_tokens: int,
-                     eos_token_ids: Sequence[int] = ()) -> List[int]:
-        """Single-prompt greedy generation; returns generated ids (EOS-trimmed)."""
-        n = len(prompt_ids)
-        S = self._bucket(n)
-        toks = np.zeros((1, S), np.int32)
-        toks[0, :n] = prompt_ids
-        gen_cfg = GenerationConfig(max_new_tokens=max_new_tokens,
-                                   eos_token_ids=tuple(eos_token_ids))
+    def _comp_for_bucket(self, S: int) -> CompressionConfig:
+        """Resolve the ratio budget against the bucket (reference formula
+        cap = round(len * ratio), run_longbench.py:215-216; here len is the
+        static bucket so shapes stay compile-cached)."""
         comp = self.cfg.compression
+        r = self.cfg.capacity_ratio
+        if r is None:
+            return comp
+        import dataclasses
+        cap = int(round(S * r))
+        kw = {"max_capacity_prompt": cap}
+        if comp.method == "streamingllm":
+            kw["window_size"] = cap - 4  # run_longbench.py:222-223
+        return dataclasses.replace(comp, **kw)
+
+    def _cache_capacity(self, S: int, max_new_tokens: int) -> int:
+        comp = self._comp_for_bucket(S)
         L = self.cfg.model.num_hidden_layers
         cache_capacity = comp.layer_capacity(L, S) + max_new_tokens + 1
         if self.cfg.quant is not None:  # pallas quant cache layouts
             align = 256 if self.cfg.quant.nbits == 4 else 128
             cache_capacity = -(-cache_capacity // align) * align
-        res = generate(self.params, self.cfg.model, comp, gen_cfg,
-                       jnp.asarray(toks), jnp.asarray([n], jnp.int32),
-                       cache_capacity, rng=self.rng,
-                       head_capacity=self.head_capacity,
-                       quant_cfg=self.cfg.quant)
-        num = int(res.num_tokens[0])
-        return np.asarray(res.tokens)[0, :num].tolist()
+        return cache_capacity
+
+    def _generate(self, toks: np.ndarray, lens: np.ndarray,
+                  max_new_tokens: int,
+                  eos_token_ids: Tuple[int, ...]) -> GenerateResult:
+        """Run jitted generate on a [B, S] batch, sharded when a mesh is up."""
+        S = toks.shape[1]
+        gen_cfg = GenerationConfig(max_new_tokens=max_new_tokens,
+                                   eos_token_ids=eos_token_ids)
+        kwargs = dict(rng=self.rng, head_capacity=self.head_capacity,
+                      quant_cfg=self.cfg.quant, attn_backend=self.attn_backend)
+        toks_j = jnp.asarray(toks)
+        lens_j = jnp.asarray(lens, jnp.int32)
+        cap = self._cache_capacity(S, max_new_tokens)
+        comp = self._comp_for_bucket(S)
+        if self.sp_mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            toks_j = jax.device_put(
+                toks_j, NamedSharding(self.sp_mesh, P(None, "sp")))
+            lens_j = jax.device_put(lens_j, NamedSharding(self.sp_mesh, P()))
+            with self.sp_mesh:
+                return generate(self.params, self.cfg.model,
+                                comp, gen_cfg, toks_j, lens_j,
+                                cap, sp_mesh=self.sp_mesh, **kwargs)
+        if self.mesh is None:
+            return generate(self.params, self.cfg.model, comp,
+                            gen_cfg, toks_j, lens_j, cap, **kwargs)
+        from ..parallel.mesh import data_sharding
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        toks_j = jax.device_put(toks_j, data_sharding(self.mesh))
+        lens_j = jax.device_put(lens_j, NamedSharding(self.mesh, P("dp")))
+        with self.mesh:
+            return generate(self.params, self.cfg.model, comp,
+                            gen_cfg, toks_j, lens_j, cap, **kwargs)
+
+    def generate_ids(self, prompt_ids: Sequence[int], max_new_tokens: int,
+                     eos_token_ids: Sequence[int] = ()) -> List[int]:
+        """Single-prompt greedy generation; returns generated ids (EOS-trimmed)."""
+        return self.generate_batch([prompt_ids], max_new_tokens,
+                                   eos_token_ids)[0]
+
+    def generate_batch(self, prompts: Sequence[Sequence[int]],
+                       max_new_tokens: int,
+                       eos_token_ids: Sequence[int] = ()) -> List[List[int]]:
+        """Batched greedy generation: one jit dispatch for the whole batch.
+
+        All prompts are padded to the largest member's bucket (results are
+        padding-invariant) and the batch is padded up to a multiple of ``dp``
+        by repeating the last row, so every dp shard holds real work shapes.
+        Returns one EOS-trimmed id list per input prompt, in order.
+        """
+        n_in = len(prompts)
+        S = self._bucket(max(len(p) for p in prompts))
+        B = -(-n_in // self.dp) * self.dp
+        toks = np.zeros((B, S), np.int32)
+        lens = np.zeros((B,), np.int32)
+        for i in range(B):
+            p = prompts[min(i, n_in - 1)]
+            toks[i, :len(p)] = p
+            lens[i] = len(p)
+        res = self._generate(toks, lens, max_new_tokens,
+                             tuple(eos_token_ids))
+        nums = np.asarray(res.num_tokens)
+        all_toks = np.asarray(res.tokens)
+        return [all_toks[i, :int(nums[i])].tolist() for i in range(n_in)]

@@ -57,7 +57,8 @@ def sample_token(logits: jnp.ndarray, gen_cfg: GenerationConfig,
 @functools.partial(
     jax.jit,
     static_argnames=("model_cfg", "comp_cfg", "gen_cfg", "cache_capacity",
-                     "return_all_logits", "quant_cfg"),
+                     "return_all_logits", "quant_cfg", "attn_backend",
+                     "sp_mesh"),
 )
 def generate(
     params: dict,
@@ -71,13 +72,16 @@ def generate(
     head_capacity: Optional[jnp.ndarray] = None,
     return_all_logits: bool = False,
     quant_cfg: Optional[QuantConfig] = None,
+    attn_backend: str = "auto",
+    sp_mesh=None,  # hashable jax.sharding.Mesh with an "sp" axis (static)
 ) -> GenerateResult:
     B, S = tokens.shape
     max_new = gen_cfg.max_new_tokens
 
     pre = llama.prefill(params, model_cfg, comp_cfg, tokens, true_len,
                         cache_capacity, rng=rng, head_capacity=head_capacity,
-                        return_all_logits=return_all_logits, quant=quant_cfg)
+                        return_all_logits=return_all_logits, quant=quant_cfg,
+                        attn_backend=attn_backend, sp_mesh=sp_mesh)
     sample_rng = rng if rng is not None else jax.random.PRNGKey(0)
     sample_rng, k0 = jax.random.split(jax.random.fold_in(sample_rng, 7))
     first_tok = sample_token(pre.logits_last, gen_cfg, k0)  # [B]
@@ -124,6 +128,7 @@ def generate(
     def body(s: _State):
         logits, cache = llama.decode_step(
             params, model_cfg, s.cur, s.cache, quant=quant_cfg,
+            attn_backend=attn_backend,
             eviction_recent=comp_cfg.eviction_recent)
         rng_next, kstep = jax.random.split(s.rng)
         nxt = sample_token(
