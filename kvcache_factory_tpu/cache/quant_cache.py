@@ -15,9 +15,14 @@ TPU-native redesign (SURVEY.md §7.4 / BASELINE.json north star):
  * dequant happens inside the decode attention computation, where XLA fuses
    convert+scale into the matmul operand stream — HBM traffic is the int8/int4
    read (2x / 4x less than bf16), never a materialized fp cache;
- * outliers are absorbed by the per-group min/max range rather than a sparse
-   side table (groups are small enough that a single outlier only degrades its
-   own 64 channels).
+ * outlier handling is DENSE: the largest-|x| value of every group is stored
+   exactly (bf16 value + int8 in-group index, ~0.4 extra bits/value) and
+   scattered back with a one-hot select at dequant.  This is the TPU-native
+   equivalent of the reference's sparse outlier side table
+   (quantcache.py:51-58, threshold 6.0 + torch.nonzero scatter): no dynamic
+   shapes, no gather/scatter of ragged indices, and unlike a fixed threshold
+   it adapts to the tensor's scale.  Measured A/B vs an HQQ+outlier torch
+   oracle: tools/quant_accuracy_ab.py, table in BASELINE.md.
 
 INT4 packs two values per int8 byte along the channel axis.
 """
@@ -51,6 +56,11 @@ class QuantizedKVCache(NamedTuple):
     positions: jnp.ndarray  # [B] int32
     rk: Optional[jnp.ndarray] = None  # [L, B, H, R, D] fp residual ring
     rv: Optional[jnp.ndarray] = None  # [L, B, H, R, D]
+    # dense per-group outlier slots (QuantConfig.outlier_extract)
+    k_oval: Optional[jnp.ndarray] = None  # [L, B, H, C, G] bf16 exact value
+    k_oidx: Optional[jnp.ndarray] = None  # [L, B, H, C, G] int8 in-group idx
+    v_oval: Optional[jnp.ndarray] = None
+    v_oidx: Optional[jnp.ndarray] = None
 
     @property
     def capacity(self) -> int:
@@ -139,11 +149,50 @@ def unpack_int4(packed: jnp.ndarray) -> jnp.ndarray:
     return unpack_codes(packed, 4)
 
 
+def extract_group_outliers(x: jnp.ndarray, group_size: int):
+    """[..., D] -> (stripped [..., D] f32 with the outlier zeroed,
+    oval [..., G] f32 exact value, oidx [..., G] int8 in-group index).
+
+    One slot per group: the largest-|x| entry.  Zeroing it before min/max
+    (like the reference strips |x| > 6 before HQQ-quantizing,
+    quantcache.py:51-58) keeps the group's quantization range tight."""
+    *lead, D = x.shape
+    G = D // group_size
+    xg = x.astype(jnp.float32).reshape(*lead, G, group_size)
+    oidx = jnp.argmax(jnp.abs(xg), axis=-1)  # [..., G]
+    oval = jnp.take_along_axis(xg, oidx[..., None], axis=-1)[..., 0]
+    slot = (jnp.arange(group_size, dtype=jnp.int32)
+            == oidx[..., None].astype(jnp.int32))
+    stripped = jnp.where(slot, 0.0, xg).reshape(*lead, D)
+    return stripped, oval, oidx.astype(jnp.int8)
+
+
+def scatter_group_outliers(x: jnp.ndarray, oval: jnp.ndarray,
+                           oidx: jnp.ndarray, group_size: int) -> jnp.ndarray:
+    """Inverse of :func:`extract_group_outliers`: one-hot write each group's
+    exact outlier value back into the dequantized tensor (dense select — the
+    TPU-friendly replacement for the reference's torch.nonzero scatter,
+    quantcache.py:43-49)."""
+    *lead, D = x.shape
+    G = D // group_size
+    xg = x.reshape(*lead, G, group_size)
+    slot = (jnp.arange(group_size, dtype=jnp.int32)
+            == oidx[..., None].astype(jnp.int32))
+    xg = jnp.where(slot, oval[..., None].astype(x.dtype), xg)
+    return xg.reshape(*lead, D)
+
+
 def encode(x: jnp.ndarray, cfg: QuantConfig):
-    """[..., D] fp -> (stored int8 [..., D_packed], scale, zero)."""
+    """[..., D] fp -> (stored int8 [..., D_packed], scale, zero, oval, oidx);
+    the outlier planes are None when cfg.outlier_extract is off."""
+    oval = oidx = None
+    if cfg.outlier_extract:
+        x, oval, oidx = extract_group_outliers(x, cfg.q_group_size)
+        oval = oval.astype(jnp.bfloat16)
     codes, scale, zero = quantize_groups(x, cfg.q_group_size, cfg.nbits)
     stored = pack_codes(codes, cfg.nbits)
-    return stored, scale.astype(jnp.bfloat16), zero.astype(jnp.bfloat16)
+    return (stored, scale.astype(jnp.bfloat16), zero.astype(jnp.bfloat16),
+            oval, oidx)
 
 
 def decode_codes(stored: jnp.ndarray, cfg: QuantConfig) -> jnp.ndarray:
@@ -151,9 +200,14 @@ def decode_codes(stored: jnp.ndarray, cfg: QuantConfig) -> jnp.ndarray:
 
 
 def decode_values(stored: jnp.ndarray, scale: jnp.ndarray, zero: jnp.ndarray,
-                  cfg: QuantConfig, dtype=jnp.bfloat16) -> jnp.ndarray:
-    return dequantize_groups(decode_codes(stored, cfg), scale, zero,
-                             cfg.q_group_size, dtype)
+                  cfg: QuantConfig, dtype=jnp.bfloat16,
+                  oval: Optional[jnp.ndarray] = None,
+                  oidx: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    x = dequantize_groups(decode_codes(stored, cfg), scale, zero,
+                          cfg.q_group_size, dtype)
+    if oval is not None:
+        x = scatter_group_outliers(x, oval, oidx, cfg.q_group_size)
+    return x
 
 
 def packed_dim(head_dim: int, cfg: QuantConfig) -> int:
@@ -176,8 +230,8 @@ def from_packed_prefill(k: jnp.ndarray, v: jnp.ndarray, lengths: jnp.ndarray,
                         extra_capacity: int = 0) -> QuantizedKVCache:
     """Quantize a prefill-packed dense cache [L, B, H, C, D] (+ optional decode
     headroom appended as zero slots)."""
-    qk, ks, kz = encode(k, cfg)
-    qv, vs, vz = encode(v, cfg)
+    qk, ks, kz, ko, koi = encode(k, cfg)
+    qv, vs, vz, vo, voi = encode(v, cfg)
     rk = rv = None
     if cfg.residual_length > 0:
         rows = residual_ring_rows(lengths, cfg.residual_length, k.shape[3])
@@ -188,8 +242,11 @@ def from_packed_prefill(k: jnp.ndarray, v: jnp.ndarray, lengths: jnp.ndarray,
         qk, qv = jnp.pad(qk, pad5), jnp.pad(qv, pad5)
         ks, kz = jnp.pad(ks, pad5), jnp.pad(kz, pad5)
         vs, vz = jnp.pad(vs, pad5), jnp.pad(vz, pad5)
+        if ko is not None:
+            ko, koi = jnp.pad(ko, pad5), jnp.pad(koi, pad5)
+            vo, voi = jnp.pad(vo, pad5), jnp.pad(voi, pad5)
     return QuantizedKVCache(qk, qv, ks, kz, vs, vz, lengths, positions,
-                            rk, rv)
+                            rk, rv, ko, koi, vo, voi)
 
 
 # ---------------------------------------------------------------------------

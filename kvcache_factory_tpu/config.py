@@ -304,12 +304,22 @@ class QuantConfig:
     TPU-native design difference (SURVEY.md §7.4): instead of dequantizing the
     whole cache every decode step (quantcache.py:77-82), KV is stored
     group-wise quantized and dequant is fused into the decode attention matmul
-    by XLA / the Pallas decode kernel.  Outliers are absorbed by per-group
-    scales rather than a sparse scatter (quantcache.py:51-58).
+    by XLA / the Pallas decode kernel.  Outlier handling is dense per-group
+    slots rather than a sparse scatter (quantcache.py:51-58) — see
+    ``outlier_extract``.
     """
 
     nbits: int = 8  # 1 | 2 | 3 | 4 | 8 (reference HQQ accepts 1-8, quantcache.py:26)
     q_group_size: int = 64  # groups along head_dim (reference run_longbench.py:287)
+    # Store each group's largest-|x| value exactly (bf16 + int8 index,
+    # ~0.4 bits/value) and one-hot-scatter it back at dequant — the dense
+    # TPU equivalent of the reference's |x|>6 sparse outlier table
+    # (quantcache.py:51-58).  Measured A/B vs an HQQ+outlier oracle
+    # (tools/quant_accuracy_ab.py; table in BASELINE.md): cuts low-bit
+    # reconstruction error ~2-4x on heavy-tailed K/V, so it defaults on.
+    # Honored on the XLA grouped path; the Pallas int8/int4 kernels keep
+    # per-token scales (their layout; accuracy quantified in the same table).
+    outlier_extract: bool = True
     # Recent tokens kept in full precision alongside the quantized store (the
     # reference's fp residual buffer, quantcache.py:59-96 — there it batches
     # re-quantization; here every token is also quantized once at write, and

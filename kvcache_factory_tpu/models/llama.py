@@ -692,11 +692,12 @@ def decode_step(
         q, k, v = qkv_rope(x, lp)
 
         if quantized:
-            (qk_a, qv_a, ks_a, kz_a, vs_a, vz_a, lens_all), ring = \
-                stacks[:7], stacks[7:]
+            n_out = 4 if quant.outlier_extract else 0
+            (qk_a, qv_a, ks_a, kz_a, vs_a, vz_a, lens_all) = stacks[:7]
+            outs, ring = stacks[7:7 + n_out], stacks[7 + n_out:]
             lens = slice_l(lens_all, li)
-            nk, nks, nkz = encode(k.astype(dtype), quant)  # [B,H,1,D'],[B,H,1,G]
-            nv, nvs, nvz = encode(v.astype(dtype), quant)
+            nk, nks, nkz, nko, nkoi = encode(k.astype(dtype), quant)
+            nv, nvs, nvz, nvo, nvoi = encode(v.astype(dtype), quant)
 
             def scat(stack, new):
                 return stack.at[li, bi, hi, lens].set(new[:, :, 0],
@@ -705,6 +706,11 @@ def decode_step(
             qk_a, qv_a = scat(qk_a, nk), scat(qv_a, nv)
             ks_a, kz_a = scat(ks_a, nks), scat(kz_a, nkz)
             vs_a, vz_a = scat(vs_a, nvs), scat(vz_a, nvz)
+            if n_out:
+                ko_a, koi_a, vo_a, voi_a = outs
+                ko_a, koi_a = scat(ko_a, nko), scat(koi_a, nkoi)
+                vo_a, voi_a = scat(vo_a, nvo), scat(voi_a, nvoi)
+                outs = (ko_a, koi_a, vo_a, voi_a)
             if ring:
                 # fp residual ring (quantcache.py:59-96 semantics): the new
                 # token also lands in the ring at slot ``row % R``; reads of
@@ -723,10 +729,16 @@ def decode_step(
                     v.astype(dtype)[:, :, 0], mode="drop")
                 ring = (rk_a, rv_a)
             lens = jnp.minimum(lens + 1, C)
-            k_read = decode_values(slice_l(qk_a, li), slice_l(ks_a, li),
-                                   slice_l(kz_a, li), quant, dtype)
-            v_read = decode_values(slice_l(qv_a, li), slice_l(vs_a, li),
-                                   slice_l(vz_a, li), quant, dtype)
+            k_read = decode_values(
+                slice_l(qk_a, li), slice_l(ks_a, li), slice_l(kz_a, li),
+                quant, dtype,
+                oval=slice_l(outs[0], li) if n_out else None,
+                oidx=slice_l(outs[1], li) if n_out else None)
+            v_read = decode_values(
+                slice_l(qv_a, li), slice_l(vs_a, li), slice_l(vz_a, li),
+                quant, dtype,
+                oval=slice_l(outs[2], li) if n_out else None,
+                oidx=slice_l(outs[3], li) if n_out else None)
             if ring:
                 rk_l, rv_l = slice_l(ring[0], li), slice_l(ring[1], li)
                 cidx = jnp.arange(C, dtype=jnp.int32)
@@ -739,7 +751,8 @@ def decode_step(
             mask = decode_mask(lens)  # [B, H, 1, C]
             attn = grouped_attention(q, k_read, v_read, mask)
             lens_all = lax.dynamic_update_index_in_dim(lens_all, lens, li, 0)
-            stacks = (qk_a, qv_a, ks_a, kz_a, vs_a, vz_a, lens_all) + ring
+            stacks = ((qk_a, qv_a, ks_a, kz_a, vs_a, vz_a, lens_all)
+                      + outs + ring)
         elif offloaded:
             # Host-offloaded decode (HF OffloadedCache equivalent,
             # cache_utils_think.py:507): the immutable prefill KV for layer
@@ -876,8 +889,13 @@ def decode_step(
         stacks0 = (cache.k, cache.v, cache.scores, cache.stamps,
                    cache.lengths)
     elif quantized:
+        assert (cache.k_oval is not None) == quant.outlier_extract, \
+            "cache outlier planes must match QuantConfig.outlier_extract"
         stacks0 = (cache.qk, cache.qv, cache.k_scale, cache.k_zero,
                    cache.v_scale, cache.v_zero, cache.lengths)
+        if quant.outlier_extract:
+            stacks0 = stacks0 + (cache.k_oval, cache.k_oidx,
+                                 cache.v_oval, cache.v_oidx)
         if cache.rk is not None:
             stacks0 = stacks0 + (cache.rk, cache.rv)
     else:
@@ -906,9 +924,13 @@ def decode_step(
         new_cache = EvictingKVCache(k_all, v_all, sc_all, st_all, len_all,
                                     cache.positions + 1)
     elif quantized:
-        (qk, qv, ks, kz, vs, vz, len_all), ring = stacks[:7], stacks[7:]
+        n_out = 4 if quant.outlier_extract else 0
+        (qk, qv, ks, kz, vs, vz, len_all) = stacks[:7]
+        outs, ring = stacks[7:7 + n_out], stacks[7 + n_out:]
+        ring = ring if ring else (None, None)
         new_cache = QuantizedKVCache(qk, qv, ks, kz, vs, vz, len_all,
-                                     cache.positions + 1, *ring)
+                                     cache.positions + 1, *ring, *(
+                                         outs if n_out else (None,) * 4))
     else:
         k_all, v_all, len_all = stacks
         new_cache = KVCache(k=k_all, v=v_all, lengths=len_all,

@@ -29,12 +29,13 @@ def test_quant_roundtrip_error(nbits, tol):
     rng = np.random.default_rng(1)
     x = rng.normal(size=(2, 4, 16, 64)).astype(np.float32)
     cfg = QuantConfig(nbits=nbits, q_group_size=32)
-    stored, scale, zero = QC.encode(jnp.asarray(x), cfg)
+    stored, scale, zero, oval, oidx = QC.encode(jnp.asarray(x), cfg)
     if nbits == 8:
         assert stored.dtype == jnp.int8 and stored.shape == x.shape
     else:
         assert stored.shape == x.shape[:-1] + (32,)
-    out = QC.decode_values(stored, scale, zero, cfg, jnp.float32)
+    out = QC.decode_values(stored, scale, zero, cfg, jnp.float32,
+                           oval=oval, oidx=oidx)
     err = np.abs(np.asarray(out) - x).max()
     spread = x.max() - x.min()
     assert err < tol * spread, f"max quant err {err} vs spread {spread}"
@@ -103,8 +104,9 @@ def test_low_bit_roundtrip_error(nbits, tol):
     rng = np.random.default_rng(5)
     x = rng.normal(size=(2, 4, 16, 64)).astype(np.float32)
     cfg = QuantConfig(nbits=nbits, q_group_size=32)
-    stored, scale, zero = QC.encode(jnp.asarray(x), cfg)
-    out = QC.decode_values(stored, scale, zero, cfg, jnp.float32)
+    stored, scale, zero, oval, oidx = QC.encode(jnp.asarray(x), cfg)
+    out = QC.decode_values(stored, scale, zero, cfg, jnp.float32,
+                           oval=oval, oidx=oidx)
     err = np.abs(np.asarray(out) - x).max()
     spread = x.max() - x.min()
     assert err < tol * spread, (err, spread)

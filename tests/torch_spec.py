@@ -106,3 +106,56 @@ def think_channel_mask(q, k_compressed, ratio):
     keep = torch.ones(H, D, dtype=torch.bool)
     keep.scatter_(1, drop, False)
     return keep
+
+
+def hqq_quantize_spec(x, nbits, group_size=64, optimize=True, iters=20,
+                      lp_norm=0.7, beta=1e1, kappa=1.01):
+    """HQQ-style per-group asymmetric quantizer roundtrip (torch, fp32).
+
+    Reproduces the reference cache's quantization core
+    (pyramidkv/quantcache.py:29-41 delegates to hqq.core.quantize.Quantizer
+    with axis=1, group_size=64): groups of ``group_size`` along the last dim,
+    scale = qmax / (max - min), zero = -min * scale, plus HQQ's proximal
+    zero-point refinement (half-quadratic shrinkage on the lp<1 error norm,
+    the HQQ paper's optimize_weights_proximal) when ``optimize``.
+
+    Returns the dequantized reconstruction with x's shape.
+    """
+    shape = x.shape
+    g = x.reshape(-1, group_size).float()
+    qmax = 2.0 ** nbits - 1.0
+    mx = g.max(dim=1, keepdim=True).values
+    mn = g.min(dim=1, keepdim=True).values
+    scale = qmax / (mx - mn).clamp_min(1e-8)
+    zero = -mn * scale
+    if optimize:
+        best_err = None
+        for _ in range(iters):
+            q = (g * scale + zero).round_().clamp_(0, qmax)
+            r = (q - zero) / scale
+            e = g - r
+            # shrink_lp: sign(e) * relu(|e| - (1/beta) * |e|^(p-1))
+            ae = e.abs()
+            shrunk = torch.sign(e) * torch.relu(
+                ae - (1.0 / beta) * ae.clamp_min(1e-8).pow(lp_norm - 1))
+            zero = torch.mean(q - (g - shrunk) * scale, dim=1, keepdim=True)
+            beta *= kappa
+            err = (g - (q - zero) / scale).abs().pow(lp_norm).mean()
+            if best_err is not None and err > best_err:
+                break
+            best_err = err
+    q = (g * scale + zero).round_().clamp_(0, qmax)
+    return ((q - zero) / scale).reshape(shape)
+
+
+def hqq_outlier_roundtrip(x, nbits, group_size=64, outlier_threshold=6.0,
+                          optimize=True):
+    """Full reference quantized-cache roundtrip spec: strip |x| > threshold
+    outliers (zeroed before quantization, stored exactly, scattered back
+    after dequant — quantcache.py:43-58), HQQ-quantize the rest."""
+    outliers = x.abs() > outlier_threshold
+    vals = x[outliers]
+    stripped = x.masked_fill(outliers, 0.0)
+    out = hqq_quantize_spec(stripped, nbits, group_size, optimize=optimize)
+    out[outliers] = vals
+    return out
