@@ -235,6 +235,7 @@ def prefill(
     *,
     rng: Optional[jax.Array] = None,
     head_capacity: Optional[jnp.ndarray] = None,  # [L, H] int32 (HeadKV)
+    sparse_budgets: Optional[jnp.ndarray] = None,  # [L, Hq, 2] int32
     return_all_logits: bool = False,
     quant: Optional[QuantConfig] = None,
     attn_backend: str = "auto",  # "auto" | "pallas" | "xla"
@@ -293,7 +294,7 @@ def prefill(
                                       "adakv", "headkv")
 
     def layer_fn(x, scanned):
-        lp, layer_idx, hc, key = scanned
+        lp, layer_idx, hc, sb, key = scanned
         h = rms_norm(x, lp["input_norm"], cfg.rms_norm_eps)
         qkv = h @ lp["qkv_proj"]
         if "qkv_bias" in lp:  # Qwen2-family QKV bias
@@ -317,7 +318,11 @@ def prefill(
             for b in range(B):
                 out_h, win_sc = flash_prefill_attention(
                     q[b], k[b], v[b], true_len[b], comp.window_size,
-                    sparse_pattern=comp.sparse_prefill)
+                    sparse_pattern=comp.sparse_prefill,
+                    # per-layer per-head MInference budgets ([Hq, 2], sliced
+                    # off the [L, Hq, 2] scan input; minference.py:9-12)
+                    sparse_head_budgets=sb if sparse_budgets is not None
+                    else None)
                 outs.append(out_h)
                 scs.append(win_sc)
             attn = jnp.stack(outs)
@@ -370,13 +375,17 @@ def prefill(
 
     layer_ids = jnp.arange(L, dtype=jnp.int32)
     keys = jax.random.split(rng, L)
+    sb_all = (jnp.zeros((L, Hq, 2), jnp.int32) if sparse_budgets is None
+              else jnp.asarray(sparse_budgets, jnp.int32))
     channels_all = None
     if think_packed:
         x, (k_all, v_all, len_all, channels_all) = lax.scan(
-            layer_fn, x, (params["layers"], layer_ids, head_capacity, keys))
+            layer_fn, x,
+            (params["layers"], layer_ids, head_capacity, sb_all, keys))
     else:
         x, (k_all, v_all, len_all) = lax.scan(
-            layer_fn, x, (params["layers"], layer_ids, head_capacity, keys))
+            layer_fn, x,
+            (params["layers"], layer_ids, head_capacity, sb_all, keys))
 
     x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
     lm_head = params["lm_head"]

@@ -120,7 +120,8 @@ def _decode_kernel(C: int, BLK: int, NC: int, G: int, D: int, H: int,
     @pl.when(h == 0)
     def _():
         start_chunk(0)
-        start_chunk(1)
+        if H * NC > 1:
+            start_chunk(1)
 
     # ---- in-place append: new token K/V -> entry L of this head ----
     # The aligned APPEND_TILE-row window containing row L is read, row L is
@@ -233,7 +234,7 @@ def decode_attention_append_stacked(
 
     # As few, as large chunks as VMEM allows: near-half-cache DMAs (hundreds
     # of KB) keep the HBM pipe full.
-    NC = max(2, -(-C // MAX_BLK))
+    NC = max(1, -(-C // MAX_BLK))
     BLK = min(_round_up(-(-C // NC), APPEND_TILE), C)
 
     kernel = functools.partial(_decode_kernel, C, BLK, NC, G, D, H)

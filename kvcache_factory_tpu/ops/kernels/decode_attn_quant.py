@@ -115,15 +115,18 @@ def _quant_decode_kernel(C: int, BLK: int, NC: int, G: int, D: int, H: int,
 
     def plane_copy(hh):
         return pltpu.make_async_copy(
-            sc_hbm.at[li, hh], sc_s.at[hh % 2], plane_sems.at[hh % 2])
+            sc_hbm.at[li, hh], sc_s.at[hh % 3], plane_sems.at[hh % 3])
 
     def start_chunk(gi):
         ck, cv = chunk_copies(gi)
         ck.start()
         cv.start()
-        # The head's scale plane rides with its first chunk (two heads'
-        # planes are never in flight into the same slot: plane h+2 starts
-        # only after program h+1 began, when program h is done with slot h%2).
+        # The head's scale plane rides with its first chunk.  THREE
+        # plane slots: with NC == 1 (whole capacity in one chunk — the
+        # common case, fewer/larger DMAs) the +2 chunk lookahead starts
+        # head h+2's plane while program h is still reading slot h%2, so
+        # two slots would race; mod-3 keeps the in-flight plane disjoint
+        # from both readers.
         @pl.when(gi % NC == 0)
         def _():
             plane_copy(gi // NC).start()
@@ -134,7 +137,8 @@ def _quant_decode_kernel(C: int, BLK: int, NC: int, G: int, D: int, H: int,
     @pl.when(h == 0)
     def _():
         start_chunk(0)
-        start_chunk(1)
+        if H * NC > 1:
+            start_chunk(1)
 
     # ---- in-place append: quantize the new token in-register ----
     def quantize(x):  # [1, D] f32 -> codes f32 in [0,255], scale, zero
@@ -195,7 +199,7 @@ def _quant_decode_kernel(C: int, BLK: int, NC: int, G: int, D: int, H: int,
     qsum = jnp.sum(q, axis=-1, keepdims=True)       # [G, 1]
 
     plane_copy(h).wait()
-    planes = sc_s[h % 2].astype(jnp.float32)  # [4, C] f32
+    planes = sc_s[h % 3].astype(jnp.float32)  # [4, C] f32
 
     m = jnp.full((G, 1), NEG_INF, jnp.float32)
     l = jnp.zeros((G, 1), jnp.float32)
@@ -272,7 +276,7 @@ def quant_decode_attention_append_stacked(
     assert C % TOK_BLK == 0, f"capacity {C} must be a multiple of {TOK_BLK}"
     assert scales.shape == (Lyr, H, N_PLANES, C), scales.shape
 
-    NC = max(2, -(-C // MAX_BLK))
+    NC = max(1, -(-C // MAX_BLK))
     BLK = min(_round_up(-(-C // NC), TOK_BLK), C)
     kernel = functools.partial(_quant_decode_kernel, C, BLK, NC, G, D, H)
     lidx = jnp.asarray(layer, jnp.int32).reshape(1)
@@ -295,12 +299,12 @@ def quant_decode_attention_append_stacked(
         scratch_shapes=[
             pltpu.VMEM((N_SLOTS, BLK, D), jnp.int8),
             pltpu.VMEM((N_SLOTS, BLK, D), jnp.int8),
-            pltpu.VMEM((2, N_PLANES, C), scales.dtype),
+            pltpu.VMEM((3, N_PLANES, C), scales.dtype),
             pltpu.VMEM((CODE_TILE, D), jnp.int8),
             pltpu.VMEM((CODE_TILE, D), jnp.int8),
             pltpu.VMEM((N_PLANES, TOK_BLK), scales.dtype),
             pltpu.SemaphoreType.DMA((N_SLOTS, 2)),
-            pltpu.SemaphoreType.DMA(2),
+            pltpu.SemaphoreType.DMA(3),
             pltpu.SemaphoreType.DMA(3),
         ],
     )
@@ -375,9 +379,14 @@ def _round_up(x: int, m: int) -> int:
 # Channel-axis nibble packing (the XLA path's layout) needs a [*, D/2] ->
 # [*, D] unpack — a reshape across the 128-lane dim Mosaic forbids.  Instead
 # byte row t of a [C2, D] plane (C2 = C//2) holds token t (low nibble) and
-# token C2+t (high nibble).  Unpacking is elementwise bit-ops; each streamed
-# chunk of BLK byte rows yields TWO token blocks whose per-token scales are
-# both static lane slices of the same wide [4, C] plane (at sc0 and C2+sc0).
+# token C2+t (high nibble).  Each streamed chunk of BLK byte rows yields TWO
+# token blocks whose per-token scales are both static lane slices of the same
+# wide [4, C] plane (at sc0 and C2+sc0).  Unpacking is ALGEBRAIC (see the
+# chunk loop): two elementwise passes per byte plane (signed convert +
+# hi-nibble floor-extract) feed two MXU dots, and the lo-nibble results fall
+# out of [G, BLK]-level algebra — the earlier per-nibble shift/mask/convert
+# chain did 4x the int8 kernel's VPU work per token and made int4 SLOWER than
+# int8 despite half the HBM traffic (round-1 bench: 1714 vs 1859 tok/s).
 # Per byte streamed this does 2x the dots of the int8 kernel — i.e. the same
 # MACs per TOKEN — while halving the HBM traffic.  Decode append is a nibble
 # RMW on one [CODE_TILE, D] window (row L % C2, nibble L // C2).
@@ -424,7 +433,7 @@ def _quant4_decode_kernel(C: int, BLK: int, NC: int, G: int, D: int, H: int,
 
     def plane_copy(hh):
         return pltpu.make_async_copy(
-            sc_hbm.at[li, hh], sc_s.at[hh % 2], plane_sems.at[hh % 2])
+            sc_hbm.at[li, hh], sc_s.at[hh % 3], plane_sems.at[hh % 3])
 
     def start_chunk(gi):
         ck, cv = chunk_copies(gi)
@@ -441,7 +450,8 @@ def _quant4_decode_kernel(C: int, BLK: int, NC: int, G: int, D: int, H: int,
     @pl.when(h == 0)
     def _():
         start_chunk(0)
-        start_chunk(1)
+        if H * NC > 1:
+            start_chunk(1)
 
     # ---- in-place append: 4-bit quantize the new token in-register ----
     def quantize4(x):  # [1, D] f32 -> codes i32 in [0,15], scale, zero
@@ -505,13 +515,22 @@ def _quant4_decode_kernel(C: int, BLK: int, NC: int, G: int, D: int, H: int,
     for cp in rmw_writes:
         cp.start()
 
-    # 1/sqrt(D) folded into q once (scales code dots, zero-point correction,
-    # and the new-token fold-in).
-    q = q_ref[0].astype(jnp.float32) * (D ** -0.5)  # [G, D]
-    qsum = jnp.sum(q, axis=-1, keepdims=True)       # [G, 1]
+    # The lo-nibble recovery below (qlo = qraw + 128*qsum - 16*qhi) is a
+    # CANCELLATION: q.raw carries ~8.5x the magnitude of q.lo, so any
+    # operand rounding inside the dots amplifies.  Defense: round q to a
+    # bf16-exact f32 value up front (the planes are small integers, already
+    # bf16-exact), so whether Mosaic lowers the f32 dots as bf16-operand MXU
+    # passes or higher-precision multi-pass, the dot operands are EXACTLY
+    # the values qsum is computed from and the identity holds.  (v5e has no
+    # bf16 VPU ALU — elementwise work stays f32.)  The 1/sqrt(D) scale
+    # cannot ride on q (not a power of two, would break bf16-exactness); it
+    # is applied to the [G, BLK] logits after the dots.
+    isd = D ** -0.5
+    qf = q_ref[0].astype(jnp.bfloat16).astype(jnp.float32)  # [G, D]
+    qsum = jnp.sum(qf, axis=-1, keepdims=True)       # [G, 1] unscaled
 
     plane_copy(h).wait()
-    planes = sc_s[h % 2].astype(jnp.float32)  # [4, C] f32
+    planes = sc_s[h % 3].astype(jnp.float32)  # [4, C] f32
 
     m = jnp.full((G, 1), NEG_INF, jnp.float32)
     l = jnp.zeros((G, 1), jnp.float32)
@@ -529,40 +548,77 @@ def _quant4_decode_kernel(C: int, BLK: int, NC: int, G: int, D: int, H: int,
 
         slot = gi % N_SLOTS
         sc0 = chunk_start_row(c)
-        kraw = (kc_s[slot].astype(jnp.int32) + 128) & 0xFF    # [BLK, D]
-        vraw = (vc_s[slot].astype(jnp.int32) + 128) & 0xFF
 
-        # Two token blocks per chunk: low nibbles = tokens [sc0, sc0+BLK),
-        # high nibbles = tokens [C2+sc0, C2+sc0+BLK).
-        for shift, base in ((0, sc0), (4, C2 + sc0)):
-            cb = ((kraw >> shift) & 0xF).astype(jnp.float32)
-            qc = jax.lax.dot_general(q, cb, (((1,), (1,)), ((), ())),
-                                     preferred_element_type=jnp.float32)
-            # _bcast_row: see its Mosaic vector.broadcast note
-            ks_w = _bcast_row(planes[0, base:base + BLK], G)
-            kz_w = _bcast_row(planes[1, base:base + BLK], G)
-            s = qc * ks_w + qsum * kz_w           # [G, BLK]
-            ids = base + jax.lax.broadcasted_iota(jnp.int32, (G, BLK), 1)
-            lo_bound = (C2 if shift else 0) + c * BLK  # tail-re-read dedup
-            s = jnp.where((ids >= lo_bound) & (ids < L), s, NEG_INF)
+        # Nibble unpack, algebraically (VERDICT round-1 #5: the per-nibble
+        # shift+mask+convert chain was VPU-bound at ~4x the int8 kernel's
+        # elementwise work).  Only TWO elementwise passes touch each [BLK, D]
+        # byte plane: a signed int8 -> f32 convert (raw = lo + 16*hi - 128)
+        # and a floor((raw + 128) / 16) = hi extraction (exact in f32: raw is
+        # a small integer, /16 is a power of two).  The lo-nibble K logits
+        # come from algebra on the [G, BLK] dot outputs instead of a third
+        # plane:  q . lo_j = q . raw_j + 128*sum(q) - 16 * (q . hi_j).
+        rawk = kc_s[slot].astype(jnp.float32)             # [BLK, D] signed
+        hik = jnp.floor(rawk * 0.0625 + 8.0)              # [BLK, D] in [0,15]
+        qraw = jax.lax.dot_general(qf, rawk, (((1,), (1,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+        qhi = jax.lax.dot_general(qf, hik, (((1,), (1,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        qlo = qraw + 128.0 * qsum - 16.0 * qhi            # [G, BLK] exact
 
-            m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
-            p = jnp.exp(s - m_new)
-            alpha = jnp.exp(m - m_new)
-            l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        # Tokens [sc0, sc0+BLK) ride the low nibbles, [C2+sc0, ...) the high
+        # nibbles; scale rows are static lane slices at both offsets.
+        # _bcast_row: see its Mosaic vector.broadcast note.
+        s_lo = (qlo * _bcast_row(planes[0, sc0:sc0 + BLK], G)
+                + qsum * _bcast_row(planes[1, sc0:sc0 + BLK], G)) * isd
+        s_hi = (qhi * _bcast_row(planes[0, C2 + sc0:C2 + sc0 + BLK], G)
+                + qsum * _bcast_row(planes[1, C2 + sc0:C2 + sc0 + BLK], G)
+                ) * isd
+        ids = sc0 + jax.lax.broadcasted_iota(jnp.int32, (G, BLK), 1)
+        # lower bounds dedup the last chunk's tail re-read
+        s_lo = jnp.where((ids >= c * BLK) & (ids < L), s_lo, NEG_INF)
+        s_hi = jnp.where((C2 + ids >= C2 + c * BLK) & (C2 + ids < L),
+                         s_hi, NEG_INF)
 
-            cvb = ((vraw >> shift) & 0xF).astype(jnp.float32)
-            pw = p * _bcast_row(planes[2, base:base + BLK], G)
-            pv = jax.lax.dot_general(pw, cvb, (((1,), (0,)), ((), ())),
-                                     preferred_element_type=jnp.float32)
-            pz = jnp.sum(p * _bcast_row(planes[3, base:base + BLK], G),
-                         axis=-1, keepdims=True)
-            acc = acc * alpha + pv + pz
-            m = m_new
+        # One fused online-softmax update for both token blocks.
+        m_new = jnp.maximum(m, jnp.maximum(
+            jnp.max(s_lo, axis=-1, keepdims=True),
+            jnp.max(s_hi, axis=-1, keepdims=True)))
+        p_lo = jnp.exp(s_lo - m_new)
+        p_hi = jnp.exp(s_hi - m_new)
+        alpha = jnp.exp(m - m_new)
+        l = l * alpha + jnp.sum(p_lo + p_hi, axis=-1, keepdims=True)
 
-    # Fold in the just-appended token exactly (fp values still in registers).
-    s_new = jax.lax.dot_general(q, kn, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32)
+        # V side: same cancellation (a@lo recovered from a@raw), made safe
+        # the same way as K — the probability weights are rounded to
+        # bf16-exact f32 on the cheap [G, BLK] side BEFORE both dots, so
+        # whatever operand precision the MXU uses, a_e@raw and a_e@hi see
+        # identical weights and  a_e@lo = a_e@raw + 128*sum(a_e) - 16*a_e@hi
+        # holds; the (b_e - 16 a_e) operand's own rounding contributes
+        # ~2^-9 * 16/15 ≈ 0.2% — far under int4 quantization error.  This
+        # keeps the byte plane at TWO elementwise passes (convert +
+        # hi-extract), like K.
+        rawv = vc_s[slot].astype(jnp.float32)
+        hiv = jnp.floor(rawv * 0.0625 + 8.0)
+        a = p_lo * _bcast_row(planes[2, sc0:sc0 + BLK], G)   # [G, BLK]
+        b = p_hi * _bcast_row(planes[2, C2 + sc0:C2 + sc0 + BLK], G)
+        ae = a.astype(jnp.bfloat16).astype(jnp.float32)
+        be = b.astype(jnp.bfloat16).astype(jnp.float32)
+        pv = jax.lax.dot_general(ae, rawv, (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32) \
+            + jax.lax.dot_general(be - 16.0 * ae, hiv,
+                                  (((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        pz = jnp.sum(p_lo * _bcast_row(planes[3, sc0:sc0 + BLK], G)
+                     + p_hi * _bcast_row(planes[3, C2 + sc0:C2 + sc0 + BLK],
+                                         G)
+                     + 128.0 * ae, axis=-1, keepdims=True)
+        acc = acc * alpha + pv + pz
+        m = m_new
+
+    # Fold in the just-appended token exactly (fp values still in registers;
+    # 1/sqrt(D) applied post-dot, matching the chunk logits).
+    s_new = jax.lax.dot_general(qf, kn, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * isd
     m_f = jnp.maximum(m, s_new)
     alpha = jnp.exp(m - m_f)
     p_new = jnp.exp(s_new - m_f)
@@ -596,7 +652,7 @@ def quant4_decode_attention_append_stacked(
     assert C % 256 == 0, f"capacity {C} must be a multiple of 256"
     assert scales.shape == (Lyr, H, N_PLANES, C), scales.shape
 
-    NC = max(2, -(-C2 // MAX_BLK))
+    NC = max(1, -(-C2 // MAX_BLK))
     BLK = min(_round_up(-(-C2 // NC), TOK_BLK), C2)
     kernel = functools.partial(_quant4_decode_kernel, C, BLK, NC, G, D, H)
     lidx = jnp.asarray(layer, jnp.int32).reshape(1)
@@ -619,12 +675,12 @@ def quant4_decode_attention_append_stacked(
         scratch_shapes=[
             pltpu.VMEM((N_SLOTS, BLK, D), jnp.int8),
             pltpu.VMEM((N_SLOTS, BLK, D), jnp.int8),
-            pltpu.VMEM((2, N_PLANES, C), scales.dtype),
+            pltpu.VMEM((3, N_PLANES, C), scales.dtype),
             pltpu.VMEM((CODE_TILE, D), jnp.int8),
             pltpu.VMEM((CODE_TILE, D), jnp.int8),
             pltpu.VMEM((N_PLANES, TOK_BLK), scales.dtype),
             pltpu.SemaphoreType.DMA((N_SLOTS, 2)),
-            pltpu.SemaphoreType.DMA(2),
+            pltpu.SemaphoreType.DMA(3),
             pltpu.SemaphoreType.DMA(3),
         ],
     )

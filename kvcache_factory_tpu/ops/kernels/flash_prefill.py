@@ -218,6 +218,7 @@ def vertical_slash_block_mask(
     k: jnp.ndarray,        # [Hkv, S_pad, D]
     true_len: jnp.ndarray,  # scalar int32
     QB: int, KB: int, v_topk: int, s_topk: int, last_q: int,
+    head_budgets: Optional[jnp.ndarray] = None,  # [Hq, 2] int32 (v, s)
 ) -> jnp.ndarray:
     """MInference vertical-slash pattern estimation (block-granular TPU
     adaptation of MInference's flagship head pattern; the reference delegates
@@ -228,6 +229,12 @@ def vertical_slash_block_mask(
     row-col offset).  The top ``v_topk`` columns and ``s_topk`` diagonals are
     converted to a [Hq, n_qb, n_kvb] block mask; sink and diagonal blocks are
     always kept.  All shapes static (top-k of fixed size, scatter-add bins).
+
+    ``head_budgets`` carries MInference's PER-HEAD (vertical, slash) counts
+    (the external package loads them per model, minference.py:9-12 +
+    MODEL2PATH config jsons): top-k still runs at the static v_topk/s_topk
+    sizes, and each head keeps only its first ``head_budgets[h]`` ranked
+    columns/diagonals (rank mask — shapes stay static, budgets stay traced).
     """
     Hq, S, D = q.shape
     Hkv = k.shape[0]
@@ -252,9 +259,13 @@ def vertical_slash_block_mask(
 
     # vertical: column sums of the estimation window
     vert = jnp.sum(A, axis=1)                              # [Hq, S]
-    _, vcols = lax.top_k(vert, min(v_topk, S))             # [Hq, v_topk]
-    vert_blk = jnp.any(jax.nn.one_hot(vcols // KB, n_kvb, dtype=jnp.bool_),
-                       axis=1)                             # [Hq, n_kvb]
+    nv = min(v_topk, S)
+    _, vcols = lax.top_k(vert, nv)                         # [Hq, v_topk]
+    v_keep = jnp.ones((Hq, nv), jnp.bool_)
+    if head_budgets is not None:
+        v_keep = jnp.arange(nv)[None] < head_budgets[:, 0:1]
+    vert_blk = jnp.any(jax.nn.one_hot(vcols // KB, n_kvb, dtype=jnp.bool_)
+                       & v_keep[..., None], axis=1)        # [Hq, n_kvb]
 
     # slash: diagonal sums at offset d = row - col.  Skew trick instead of a
     # scatter: reverse columns and right-shift row r by r (static pads), so
@@ -264,10 +275,16 @@ def vertical_slash_block_mask(
     skew = jnp.stack([jnp.pad(A_rev[:, r], ((0, 0), (r, last_q - r)))
                       for r in range(last_q)], axis=1)     # [Hq, lq, S+lq]
     diag_sum = jnp.sum(skew, axis=1)                       # [Hq, S+lq]
-    _, spos = lax.top_k(diag_sum, min(s_topk, S))          # [Hq, s_topk]
+    ns = min(s_topk, S)
+    _, spos = lax.top_k(diag_sum, ns)                      # [Hq, s_topk]
     # position p = c' + r = (S - 1 - c) + (row_g - start); d = row_g - c
     # => d = p + start - (S - 1)
     sdist = spos + start - (S - 1)                         # [Hq, s_topk]
+    if head_budgets is not None:
+        # rank mask: ranks past this head's slash budget point at an
+        # impossible diagonal (> S) so no block intersects them
+        s_keep = jnp.arange(ns)[None] < head_budgets[:, 1:2]
+        sdist = jnp.where(s_keep, sdist, S + last_q + 1)
 
     # block intersections: q block qb rows [r0, r0+QB) hit kv block kvb cols
     # [c0, c0+KB) along diagonal d iff r0-c0-KB < d <= r0-c0+QB-1.
@@ -298,6 +315,7 @@ def flash_prefill_attention(
     kv_block: Optional[int] = None,
     interpret: bool = False,
     sparse_pattern: Optional[Tuple[int, int, int]] = None,
+    sparse_head_budgets: Optional[jnp.ndarray] = None,  # [Hq, 2] int32
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Returns (out [Hq, S, D], window_scores [Hq, S] fp32).
 
@@ -346,7 +364,8 @@ def flash_prefill_attention(
             _, v_topk, s_topk, last_q = sparse_pattern
             sparse = use_mask = True
             mask = vertical_slash_block_mask(q, k, true_len, QB, KB,
-                                             v_topk, s_topk, last_q)
+                                             v_topk, s_topk, last_q,
+                                             head_budgets=sparse_head_budgets)
             scalar_args = (tl1, mask)
         elif sparse_pattern[0] == "ashape":
             _, sink_b, local_b, stride = sparse_pattern

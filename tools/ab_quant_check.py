@@ -24,8 +24,10 @@ comp = CompressionConfig(method="snapkv", max_capacity_prompt=512,
                          group_reduce=GROUP)
 NBITS = int(sys.argv[1]) if len(sys.argv) > 1 else 8
 # q_group_size == head_dim so the XLA path's group-wise quantization matches
-# the TPU layout's per-token granularity.
-quant = QuantConfig(nbits=NBITS, q_group_size=128)
+# the TPU layout's per-token granularity; outlier_extract off because the
+# per-token kernel layouts don't carry outlier slots — the A/B isolates
+# kernel-vs-XLA execution of IDENTICAL quantization semantics.
+quant = QuantConfig(nbits=NBITS, q_group_size=128, outlier_extract=False)
 S = 1024; CC = 640 if NBITS == 8 else 768  # aligned so the TPU layout engages
 toks = jnp.asarray(np.random.default_rng(0).integers(0, 32000, (1, S)), jnp.int32)
 tl = jnp.full((1,), S, jnp.int32)
