@@ -75,6 +75,18 @@ def add_engine_args(ap: argparse.ArgumentParser) -> None:
                     help="expert-parallel ways (MoE models only)")
     ap.add_argument("--dcn_dp", type=int, default=1,
                     help="of the dp ways, how many cross hosts over DCN")
+    ap.add_argument("--sp", type=int, default=1,
+                    help="sequence-parallel ways: one prompt's token axis "
+                         "shards over sp devices, prefill runs ring "
+                         "attention over ICI (dedicated mesh; does not "
+                         "compose with dp/tp/ep)")
+    ap.add_argument("--minference_config", type=str, default=None,
+                    help="MInference best-pattern JSON (the external "
+                         "package's MODEL2PATH schema, minference.py:9-12): "
+                         "per-layer per-head [pattern, vertical, slash, _] "
+                         "lists; loaded into [L, Hq, 2] budgets for the "
+                         "vertical-slash block mask. Only with "
+                         "--method minference")
 
 
 def resolve_capacity(args):
@@ -150,10 +162,22 @@ def build_engine_from_args(args) -> Tuple[InferenceEngine, object, str]:
         quant = QuantConfig(nbits=args.nbits,
                             residual_length=args.residual_length)
 
+    sparse_budgets = None
+    mconf = getattr(args, "minference_config", None)
+    if mconf:
+        if args.method.lower() != "minference":
+            raise ValueError("--minference_config requires --method minference")
+        from ..policies.minference import load_sparse_budgets
+        _, v_topk, s_topk, _ = comp.sparse_prefill
+        sparse_budgets = load_sparse_budgets(
+            mconf, model_cfg.num_hidden_layers,
+            model_cfg.num_attention_heads, v_topk, s_topk)
+
     from ..config import ShardingConfig
     sharding = ShardingConfig(dp=getattr(args, "dp", 1),
                               tp=getattr(args, "tp", 1),
                               ep=getattr(args, "ep", 1),
+                              sp=getattr(args, "sp", 1),
                               dcn_dp=getattr(args, "dcn_dp", 1))
     if sharding.dp * sharding.tp * sharding.ep > 1:
         from ..parallel.mesh import init_distributed
@@ -162,6 +186,7 @@ def build_engine_from_args(args) -> Tuple[InferenceEngine, object, str]:
                        sharding=sharding, capacity_ratio=capacity_ratio,
                        prefill_buckets=tuple(args.prefill_buckets))
     engine = InferenceEngine(params, cfg, head_capacity=head_capacity,
+                             sparse_budgets=sparse_budgets,
                              rng=jax.random.PRNGKey(args.seed))
     model_name = args.model_path.rstrip("/").split("/")[-1].lower()
     return engine, tokenizer, model_name

@@ -32,10 +32,15 @@ from .generate import GenerateResult, generate
 class InferenceEngine:
     def __init__(self, params, cfg: EngineConfig,
                  head_capacity: Optional[np.ndarray] = None,
+                 sparse_budgets: Optional[np.ndarray] = None,
                  rng: Optional[jax.Array] = None):
         self.cfg = cfg
         self.head_capacity = (None if head_capacity is None
                               else jnp.asarray(head_capacity, jnp.int32))
+        # MInference per-(layer, head) (vertical, slash) budgets [L, Hq, 2]
+        # (policies/minference.py loader; reference minference.py:9-12).
+        self.sparse_budgets = (None if sparse_budgets is None
+                               else jnp.asarray(sparse_budgets, jnp.int32))
         self.rng = rng if rng is not None else jax.random.PRNGKey(0)
         self.buckets = sorted(cfg.prefill_buckets)
 
@@ -107,6 +112,7 @@ class InferenceEngine:
         gen_cfg = GenerationConfig(max_new_tokens=max_new_tokens,
                                    eos_token_ids=eos_token_ids)
         kwargs = dict(rng=self.rng, head_capacity=self.head_capacity,
+                      sparse_budgets=self.sparse_budgets,
                       quant_cfg=self.cfg.quant, attn_backend=self.attn_backend)
         toks_j = jnp.asarray(toks)
         lens_j = jnp.asarray(lens, jnp.int32)

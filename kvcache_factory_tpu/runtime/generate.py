@@ -70,6 +70,7 @@ def generate(
     cache_capacity: int,
     rng: Optional[jax.Array] = None,
     head_capacity: Optional[jnp.ndarray] = None,
+    sparse_budgets: Optional[jnp.ndarray] = None,  # [L, Hq, 2] (MInference)
     return_all_logits: bool = False,
     quant_cfg: Optional[QuantConfig] = None,
     attn_backend: str = "auto",
@@ -80,6 +81,7 @@ def generate(
 
     pre = llama.prefill(params, model_cfg, comp_cfg, tokens, true_len,
                         cache_capacity, rng=rng, head_capacity=head_capacity,
+                        sparse_budgets=sparse_budgets,
                         return_all_logits=return_all_logits, quant=quant_cfg,
                         attn_backend=attn_backend, sp_mesh=sp_mesh)
     sample_rng = rng if rng is not None else jax.random.PRNGKey(0)

@@ -221,3 +221,50 @@ def test_cli_capacity_precedence():
                        "--max_capacity_prompts_ratio", "0.5"])
     with pytest.raises(ValueError):
         resolve_capacity(a)
+
+
+def test_cli_accepts_sp_and_minference_flags():
+    """--sp (VERDICT round-2 #8) and --minference_config (#4) parse."""
+    import argparse
+    from kvcache_factory_tpu.evals.cli_common import add_engine_args
+    ap = argparse.ArgumentParser()
+    add_engine_args(ap)
+    args = ap.parse_args(["--model_path", "x", "--sp", "4"])
+    assert args.sp == 4 and args.minference_config is None
+    sc = ShardingConfig(dp=args.dp, tp=args.tp, ep=args.ep, sp=args.sp)
+    assert sc.sp == 4
+    args = ap.parse_args(["--model_path", "x", "--method", "minference",
+                          "--minference_config", "pat.json"])
+    assert args.minference_config == "pat.json"
+
+
+def test_longbench_runner_under_sp_matches_single(tiny, tmp_path):
+    """An eval-runner pass under --sp 4 must emit the same predictions as the
+    single-device engine (the CLI surface for sequence parallelism)."""
+    import json
+    from kvcache_factory_tpu.evals.longbench import run_dataset
+    from tests.toy_tokenizer import ToyTokenizer
+
+    params, ecfg = tiny
+    rows = [{"input": f"item {i}?", "context": " ".join(
+        f"w{j}" for j in range(60)), "answers": [f"a{i}"], "length": 60,
+        "dataset": "qasper", "language": "en", "all_classes": None,
+        "_id": f"id{i}"} for i in range(2)]
+    data = tmp_path / "qasper.jsonl"
+    with open(data, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    tok = ToyTokenizer()
+
+    def preds(engine, name):
+        out = tmp_path / name / "qasper" / "SnapKV.json"
+        run_dataset(engine, tok, "qasper", str(data), str(out),
+                    model_max=250, progress=False)
+        return [json.loads(l)["pred"] for l in open(out)]
+
+    ecfg = ecfg.replace(prefill_buckets=(64, 128, 256))
+    base = InferenceEngine(params, ecfg)
+    eng_sp = InferenceEngine(
+        params, ecfg.replace(sharding=ShardingConfig(sp=4)))
+    assert eng_sp.sp_mesh is not None
+    assert preds(eng_sp, "sp") == preds(base, "single")

@@ -253,3 +253,134 @@ def test_flash_prefill_adaptive_block_default():
     rows_valid = np.arange(S) < tl
     np.testing.assert_allclose(np.asarray(out)[:, rows_valid],
                                exp[:, rows_valid], rtol=2e-5, atol=2e-5)
+
+
+def test_sparse_head_budgets_rank_mask_parity():
+    """Per-head (v, s) budgets must restrict the kept columns/diagonals
+    exactly like shrinking the static top-k sizes: with a uniform budget
+    (v, s) under static tops (V, S'), the block mask equals the mask built
+    with static tops (v, s) and no budgets (top_k is sorted descending, so
+    rank < v selects exactly the top-v columns).  VERDICT round-2 #4."""
+    Hq, S, tl = 2, 512, 512
+    QB = KB = 128
+    rng = np.random.default_rng(11)
+    q = jnp.asarray(rng.normal(size=(Hq, S, D)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(Hq, S, D)), jnp.float32)
+    tlj = jnp.asarray(tl, jnp.int32)
+
+    for v_b, s_b in [(4, 2), (16, 8), (1, 1)]:
+        budgets = jnp.full((Hq, 2), 0, jnp.int32)
+        budgets = budgets.at[:, 0].set(v_b).at[:, 1].set(s_b)
+        got = vertical_slash_block_mask(q, k, tlj, QB, KB,
+                                        v_topk=64, s_topk=32, last_q=64,
+                                        head_budgets=budgets)
+        exp = vertical_slash_block_mask(q, k, tlj, QB, KB,
+                                        v_topk=v_b, s_topk=s_b, last_q=64)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(exp))
+
+
+def test_sparse_head_budgets_per_head_mixed():
+    """Each head honors ITS budget row: a mixed-budget call must reproduce,
+    head by head, the uniform-budget call at that head's budget."""
+    Hq, S, tl = 3, 512, 512
+    QB = KB = 128
+    rng = np.random.default_rng(12)
+    q = jnp.asarray(rng.normal(size=(Hq, S, D)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(Hq, S, D)), jnp.float32)
+    tlj = jnp.asarray(tl, jnp.int32)
+    per_head = [(2, 1), (16, 8), (64, 32)]
+
+    mixed = vertical_slash_block_mask(
+        q, k, tlj, QB, KB, v_topk=64, s_topk=32, last_q=64,
+        head_budgets=jnp.asarray(per_head, jnp.int32))
+    for h, (v_b, s_b) in enumerate(per_head):
+        uni = vertical_slash_block_mask(
+            q, k, tlj, QB, KB, v_topk=64, s_topk=32, last_q=64,
+            head_budgets=jnp.tile(jnp.asarray([[v_b, s_b]], jnp.int32), (Hq, 1)))
+        np.testing.assert_array_equal(np.asarray(mixed)[h],
+                                      np.asarray(uni)[h])
+    # the tightest-budget head is sparser than the loosest one
+    m = np.asarray(mixed)
+    assert m[0].sum() <= m[2].sum()
+
+
+def test_sparse_head_budgets_through_prefill_interpret():
+    """sparse_budgets threads end-to-end through llama.prefill into the
+    kernel: a tiny-budget config must produce a different (sparser-pattern)
+    output than the full-budget one, while the full-budget one matches the
+    budget-free call exactly."""
+    from kvcache_factory_tpu.config import CompressionConfig, ModelConfig
+    from kvcache_factory_tpu.models import llama
+    from kvcache_factory_tpu.models.weights import init_params
+    from unittest import mock
+
+    cfg = ModelConfig(model_type="llama", vocab_size=128, hidden_size=256,
+                      intermediate_size=512, num_hidden_layers=2,
+                      num_attention_heads=2, num_key_value_heads=2,
+                      head_dim=128, max_position_embeddings=512,
+                      dtype="float32")
+    params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    comp = CompressionConfig(method="minference",
+                             sparse_prefill=("vertical_slash", 64, 16, 16))
+    S = 256
+    toks = jnp.asarray(np.random.default_rng(13).integers(0, 128, (1, S)),
+                       jnp.int32)
+    tl = jnp.asarray([S], jnp.int32)
+
+    import kvcache_factory_tpu.ops.kernels.flash_prefill as fp
+    orig = fp.flash_prefill_attention
+
+    def interp(*a, **kw):
+        kw["interpret"] = True
+        # small blocks so S=256 spans 4x4 blocks and a (1,1) budget actually
+        # drops blocks (with one block everything is the always-kept diagonal)
+        kw["q_block"] = kw["kv_block"] = 64
+        return orig(*a, **kw)
+
+    L, Hq = cfg.num_hidden_layers, cfg.num_attention_heads
+    full = np.full((L, Hq, 2), (64, 16), np.int32)
+    tiny = np.full((L, Hq, 2), (1, 1), np.int32)
+    with mock.patch.object(fp, "flash_prefill_attention", interp), \
+            mock.patch.object(jax, "default_backend", lambda: "tpu"):
+        base = llama.prefill(params, cfg, comp, toks, tl, cache_capacity=S)
+        got_full = llama.prefill(params, cfg, comp, toks, tl,
+                                 cache_capacity=S,
+                                 sparse_budgets=jnp.asarray(full))
+        got_tiny = llama.prefill(params, cfg, comp, toks, tl,
+                                 cache_capacity=S,
+                                 sparse_budgets=jnp.asarray(tiny))
+    np.testing.assert_allclose(np.asarray(got_full.logits_last),
+                               np.asarray(base.logits_last),
+                               rtol=1e-5, atol=1e-5)
+    assert not np.allclose(np.asarray(got_tiny.logits_last),
+                           np.asarray(base.logits_last), atol=1e-4)
+
+
+def test_minference_config_loader(tmp_path):
+    """MInference best-pattern schema -> [L, Hq, 2] with clipping and
+    fallbacks (policies/minference.py; reference minference.py:9-12)."""
+    import json as _json
+    from kvcache_factory_tpu.policies.minference import load_sparse_budgets
+
+    cfg = [
+        {"0": ["vertical_and_slash", 1000, 6096, 1],
+         "1": ["vertical_and_slash", 30, 7, 1],
+         "2": ["stream_llm", 4, 64, 1]},        # non-vs pattern -> full
+        {"1": ["vertical_and_slash", 5, 5, 1]},  # head 0 missing -> full
+    ]
+    p = tmp_path / "pat.json"
+    p.write_text(_json.dumps(cfg))
+    out = load_sparse_budgets(str(p), num_layers=3, num_heads=3,
+                              v_cap=64, s_cap=32)
+    assert out.shape == (3, 3, 2)
+    np.testing.assert_array_equal(out[0, 0], [64, 32])   # clipped to caps
+    np.testing.assert_array_equal(out[0, 1], [30, 7])
+    np.testing.assert_array_equal(out[0, 2], [64, 32])   # stream_llm -> full
+    np.testing.assert_array_equal(out[1, 0], [64, 32])   # missing head
+    np.testing.assert_array_equal(out[1, 1], [5, 5])
+    np.testing.assert_array_equal(out[2], [[64, 32]] * 3)  # missing layer
+
+    with pytest.raises(ValueError):
+        bad = tmp_path / "bad.json"
+        bad.write_text('{"not": "a list"}')
+        load_sparse_budgets(str(bad), 1, 1, 8, 8)
