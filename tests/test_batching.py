@@ -168,18 +168,94 @@ def test_batching_minference_gqa_matches_sequential(tiny):
         assert outputs[rid] == expect, f"request {rid} diverged"
 
 
-def test_batching_rejects_unsupported_configs(tiny):
+def _drain_and_compare(params, ecfg, prompts, max_new, n_slots=2,
+                       chunk_size=16):
+    """Batched drain must be bit-identical to sequential generate() under the
+    same config (greedy rows are independent)."""
+    engine = ContinuousBatchingEngine(params, ecfg, n_slots=n_slots,
+                                      max_new_cap=max_new,
+                                      chunk_size=chunk_size)
+    rids = [engine.submit(p, max_new) for p in prompts]
+    outputs = engine.run()
+    for rid, prompt in zip(rids, prompts):
+        bucket = 64 if len(prompt) <= 64 else 128
+        toks = np.zeros((1, bucket), np.int32)
+        toks[0, :len(prompt)] = prompt
+        res = generate(params, ecfg.model, ecfg.compression,
+                       GenerationConfig(max_new_tokens=max_new),
+                       jnp.asarray(toks),
+                       jnp.asarray([len(prompt)], jnp.int32),
+                       cache_capacity=engine.cache_capacity,
+                       quant_cfg=ecfg.quant)
+        expect = np.asarray(res.tokens)[0, :int(res.num_tokens[0])].tolist()
+        assert outputs[rid] == expect, f"request {rid} diverged"
+    return engine
+
+
+def test_batching_quantized_cache_matches_sequential(tiny):
+    """VERDICT round-2 #5: int8-quantized continuous batching, bit-identical
+    to sequential quantized generation (the generic pytree slot pool)."""
+    params, ecfg = tiny
+    from kvcache_factory_tpu.config import QuantConfig
+    rng = np.random.default_rng(17)
+    prompts = [rng.integers(0, 128, size=n).tolist() for n in (40, 90, 55)]
+    for nbits in (8, 4):
+        qcfg = EngineConfig(model=ecfg.model, compression=ecfg.compression,
+                            prefill_buckets=ecfg.prefill_buckets,
+                            quant=QuantConfig(nbits=nbits, q_group_size=16))
+        _drain_and_compare(params, qcfg, prompts, max_new=5)
+
+
+def test_batching_decode_evict_matches_sequential(tiny):
+    """EvictingKVCache rows follow the same [L, B, ...] layout rule; the
+    drain must match sequential decode-evicting generation."""
     params, ecfg = tiny
     from dataclasses import replace
-    from kvcache_factory_tpu.config import QuantConfig
-    with pytest.raises(NotImplementedError):
-        ContinuousBatchingEngine(
-            params, EngineConfig(model=ecfg.model,
-                                 compression=ecfg.compression,
-                                 prefill_buckets=ecfg.prefill_buckets,
-                                 quant=QuantConfig(nbits=8, q_group_size=16)))
-    with pytest.raises(NotImplementedError):
-        comp = replace(ecfg.compression, decode_evict=True)
-        ContinuousBatchingEngine(
-            params, EngineConfig(model=ecfg.model, compression=comp,
-                                 prefill_buckets=ecfg.prefill_buckets))
+    comp = replace(ecfg.compression, decode_evict=True, eviction_recent=8)
+    cfg = EngineConfig(model=ecfg.model, compression=comp,
+                       prefill_buckets=ecfg.prefill_buckets)
+    rng = np.random.default_rng(19)
+    prompts = [rng.integers(0, 128, size=n).tolist() for n in (40, 90, 30)]
+    _drain_and_compare(params, cfg, prompts, max_new=6)
+
+
+def test_batching_think_packed_matches_sequential(tiny):
+    """ThinKCache (packed pruned/dense split) rides the generic slot pool."""
+    params, ecfg = tiny
+    from dataclasses import replace
+    comp = replace(ecfg.compression, method="think", think_packed=True,
+                   pruning_ratio=0.4, recent_size=8)
+    cfg = EngineConfig(model=ecfg.model, compression=comp,
+                       prefill_buckets=ecfg.prefill_buckets)
+    rng = np.random.default_rng(23)
+    prompts = [rng.integers(0, 128, size=n).tolist() for n in (40, 70)]
+    _drain_and_compare(params, cfg, prompts, max_new=5)
+
+
+def test_batching_eos_early_exit_saves_steps(tiny):
+    """VERDICT round-2 #9: a chunk whose rows all hit EOS early must exit the
+    in-graph loop instead of burning chunk_size-1 garbage steps."""
+    params, ecfg = tiny
+    rng = np.random.default_rng(29)
+    prompt = rng.integers(0, 128, size=30).tolist()
+    # sequential run to find the 3rd emitted token -> use it as EOS
+    toks = np.zeros((1, 64), np.int32)
+    toks[0, :30] = prompt
+    res = generate(params, ecfg.model, ecfg.compression,
+                   GenerationConfig(max_new_tokens=16),
+                   jnp.asarray(toks), jnp.asarray([30], jnp.int32),
+                   cache_capacity=150)
+    seq = np.asarray(res.tokens)[0].tolist()
+    # EOS = an early token whose FIRST occurrence is at index >= 2 (else the
+    # run finishes at the prefill token and no chunk steps are exercised)
+    stop = next(i for i in range(2, len(seq)) if seq[i] not in seq[:i])
+    eos = seq[stop]
+
+    engine = ContinuousBatchingEngine(params, ecfg, n_slots=2, max_new_cap=16,
+                                      eos_token_ids=(eos,), chunk_size=16)
+    rid = engine.submit(prompt, 16)
+    outputs = engine.run()
+    assert outputs[rid] == seq[:stop + 1]
+    # first token comes from prefill; the chunk needed `stop` more steps, and
+    # the EOS-aware loop must stop right there instead of burning all 16
+    assert engine.steps_executed == stop, engine.steps_executed
