@@ -43,17 +43,33 @@ GOLDEN_PATH = os.path.join(os.path.dirname(__file__), "golden",
                            "expected.json")
 N_EXAMPLES = 4
 BUDGETS = (24, 48)
-# The reference scoreboard set (eval.py:99-110) minus fullkv/random anchors,
-# plus the quantized cache; VERDICT round-1 #3's exact list.
+# The FULL reference scoreboard (eval.py:99-110) plus merge/minference and
+# the quantized cache (VERDICT round-2 #10 broadened round 1's 8 configs):
+# (method, nbits, extra CompressionConfig kwargs / flags).
 CONFIGS = [
-    ("snapkv", None),
-    ("pyramidkv", None),
-    ("h2o", None),
-    ("streamingllm", None),
-    ("adakv", None),
-    ("think", None),
-    ("snapkv", 4),   # quantized-int4 cache under the flagship policy
-    ("fullkv", None),  # anchor: catches model-forward regressions alone
+    ("snapkv", None, {}),
+    ("pyramidkv", None, {}),
+    ("h2o", None, {}),
+    ("streamingllm", None, {}),
+    ("adakv", None, {}),
+    ("think", None, {}),
+    ("cam", None, {}),
+    # skip_layers default (0, 1) would skip BOTH layers of the tiny model
+    # (== fullkv, zero regression power); skip only layer 0 like the
+    # reference does proportionally on deep models (pyramidkv_utils.py:961)
+    ("l2norm", None, {"skip_layers": (0,)}),
+    ("random", None, {}),
+    # LOOK-M pivot merge of evicted KV on top of SnapKV selection
+    ("snapkv", None, {"merge": "pivot"}),
+    # HeadKV: per-head budgets from a synthetic retrieval-head score file
+    # (reference data/heads_score schema, run_longbench.py:225-234)
+    ("headkv", None, {"headkv": True}),
+    # MInference: full KV retained; pins the method/config flow (the sparse
+    # kernel itself is pinned by tests/test_flash_prefill.py)
+    ("minference", None,
+     {"sparse_prefill": ("vertical_slash", 64, 16, 16)}),
+    ("snapkv", 4, {}),   # quantized-int4 cache under the flagship policy
+    ("fullkv", None, {}),  # anchor: catches model-forward regressions alone
 ]
 
 
@@ -87,17 +103,38 @@ def _fixture_examples():
     return examples
 
 
-def _run_config(cfg, params, method, nbits, budget, tmp_path):
+def _synth_head_capacity(cfg, budget, tmp_path):
+    """Deterministic synthetic head scores in the reference schema
+    ("layer-head" -> [floats]) -> per-head capacities via the reference
+    pool formula (run_longbench.py:225-234)."""
+    from kvcache_factory_tpu.evals.longbench import headkv_capacities
+    rng = np.random.default_rng(7)
+    scores = {f"{l}-{h}": [float(rng.random())]
+              for l in range(cfg.num_hidden_layers)
+              for h in range(cfg.num_attention_heads)}
+    p = tmp_path / "heads.json"
+    with open(p, "w") as f:
+        json.dump(scores, f)
+    return headkv_capacities(str(p), cfg.num_hidden_layers,
+                             cfg.num_attention_heads, budget, 1.01)
+
+
+def _run_config(cfg, params, method, nbits, budget, tmp_path, extra=None):
+    extra = dict(extra or {})
+    head_capacity = (_synth_head_capacity(cfg, budget, tmp_path)
+                     if extra.pop("headkv", False) else None)
+    tag_suffix = "-pivot" if extra.get("merge") == "pivot" else ""
     hp = method_hyperparams(method, budget)
     comp = CompressionConfig(
         method=method, max_capacity_prompt=budget,
         window_size=hp.get("window_size", 8),
         kernel_size=hp.get("kernel_size", 7),
-        pooling=hp.get("pooling", "maxpool"))
+        pooling=hp.get("pooling", "maxpool"), **extra)
     quant = QuantConfig(nbits=nbits, q_group_size=16) if nbits else None
     engine = InferenceEngine(
         params, EngineConfig(model=cfg, compression=comp, quant=quant,
                              prefill_buckets=(256,)),
+        head_capacity=head_capacity,
         rng=jax.random.PRNGKey(42))
     tok = ToyTokenizer()
 
@@ -107,7 +144,7 @@ def _run_config(cfg, params, method, nbits, budget, tmp_path):
             for ex in _fixture_examples():
                 f.write(json.dumps(ex) + "\n")
 
-    tag = f"{method}{'-int' + str(nbits) if nbits else ''}_{budget}"
+    tag = f"{method}{tag_suffix}{'-int' + str(nbits) if nbits else ''}_{budget}"
     out_path = tmp_path / "out" / tag / "hotpotqa" / f"{method}.json"
     run_dataset(engine, tok, "hotpotqa", str(data_file), str(out_path),
                 model_max=250, progress=False)
@@ -122,9 +159,9 @@ def test_golden_scoreboard(setup, tmp_path):
     cfg, params = setup
     got = {}
     for budget in BUDGETS:
-        for method, nbits in CONFIGS:
+        for method, nbits, extra in CONFIGS:
             tag, res = _run_config(cfg, params, method, nbits, budget,
-                                   tmp_path)
+                                   tmp_path, extra)
             got[tag] = res
 
     if os.environ.get("GOLDEN_REGEN") == "1":
