@@ -38,16 +38,17 @@ NEG_INF = float(jnp.finfo(jnp.float32).min)
 
 
 def _flash_kernel(S: int, QB: int, KB: int, D: int, G: int, W: int,
-                  scale: float, sparse, sink_blocks: int, local_blocks: int,
-                  stride: int, use_mask: bool,
+                  WPAD: int, use_stash: bool, scale: float, sparse,
+                  sink_blocks: int, local_blocks: int, stride: int,
+                  use_mask: bool,
                   *refs):
     if use_mask:
         # scalar prefetch: tl [1], block mask [Hq, n_qb, n_kvb] int32
         (tl_ref, mask_ref, q_ref, k_hbm, v_hbm, o_ref, scores_ref,
-         k_s, v_s, s_buf, sems) = refs
+         k_s, v_s, s_buf, swin_buf, ml_buf, sems) = refs
     else:
         (tl_ref, q_ref, k_hbm, v_hbm, o_ref, scores_ref,
-         k_s, v_s, s_buf, sems) = refs
+         k_s, v_s, s_buf, swin_buf, ml_buf, sems) = refs
         mask_ref = None
     hq = pl.program_id(0)
     qb = pl.program_id(1)
@@ -120,6 +121,35 @@ def _flash_kernel(S: int, QB: int, KB: int, D: int, G: int, W: int,
 
     diag_blk = kv_hi - 1
 
+    # ---- window-score bookkeeping (dense path) ----
+    # Instead of a second serial sweep over K (re-DMA + re-matmul of every
+    # block — ~2/n_qb of the main work at small S, unpipelined), the dense
+    # path STASHES the window rows' logits as they are computed: only
+    # ceil(W/QB)+1 q blocks contain window rows, and only WPAD rows of each
+    # [QB, KB] logits block are kept ([WPAD, S] fp32 scratch).  The final
+    # renormalization pass is pure VPU work on data already in VMEM.
+    row_ids = row0 + lax.broadcasted_iota(jnp.int32, (QB, 1), 0)
+    in_window = (row_ids >= win_start) & (row_ids < true_len)  # [QB, 1]
+    has_window_rows = jnp.any(in_window)
+    # 8-aligned row window inside the q block covering all window rows this
+    # block holds (WPAD >= W + 7 guarantees coverage after aligning down).
+    # Clip in 8-row units with the multiply OUTSIDE so Mosaic can prove the
+    # dynamic sublane start is tile-aligned (same idiom as the decode
+    # kernel's RMW window).
+    r0_al = jnp.clip((win_start - row0) // 8, 0, max(QB - WPAD, 0) // 8) * 8
+
+    def stash_window(blk):
+        """Copy the window rows of s_buf[blk % 2] into the stash.  Mosaic has
+        no value-level dynamic_slice; slicing a REF at an 8-aligned dynamic
+        sublane start lowers fine."""
+        if not use_stash:
+            return  # sparse paths / oversize windows keep the re-sweep
+
+        @pl.when(has_window_rows)
+        def _():
+            swin_buf[:, pl.ds(blk * KB, KB)] = \
+                s_buf[blk % 2, pl.ds(r0_al, WPAD), :]
+
     def block_selected(blk):
         """MInference-equivalent sparse patterns (the reference delegates to
         the external package, pyramidkv/minference.py:49-59): static a-shape
@@ -161,6 +191,7 @@ def _flash_kernel(S: int, QB: int, KB: int, D: int, G: int, W: int,
         # write/read is in place.
         get_k(0, 0).wait()
         s_buf[0] = logits_for(0, k_s[0])
+        stash_window(0)
 
         def body(blk, carry):
             m, l, acc = carry
@@ -172,6 +203,7 @@ def _flash_kernel(S: int, QB: int, KB: int, D: int, G: int, W: int,
 
             get_k(blk % 3, blk).wait()
             s_buf[blk % 2] = logits_for(blk, k_s[blk % 3])
+            stash_window(blk)
             get_v((blk - 1) % 3, blk - 1).wait()
             m, l, acc = fold(m, l, acc, s_buf[(blk - 1) % 2],
                              v_s[(blk - 1) % 3])
@@ -185,15 +217,35 @@ def _flash_kernel(S: int, QB: int, KB: int, D: int, G: int, W: int,
     l_safe = jnp.where(l == 0.0, 1.0, l)
     o_ref[0] = (acc / l_safe).astype(o_ref.dtype)
 
-    # ---- window-score emission: bounded second sweep ----
-    row_ids = row0 + lax.broadcasted_iota(jnp.int32, (QB, 1), 0)
-    in_window = (row_ids >= win_start) & (row_ids < true_len)  # [QB, 1]
-    has_window_rows = jnp.any(in_window)
-
+    # ---- window-score emission ----
     @pl.when(has_window_rows)
     def _():
         inv_l = jnp.where(in_window, 1.0 / l_safe, 0.0)  # zero non-window rows
 
+        if use_stash:
+            # Dense: renormalize the STASHED window-row logits with the final
+            # (m, l) — no K re-read, no second QK matmul (the re-sweep cost
+            # ~2/n_qb of the main pass at 8k, measured 81 TF/s; VERDICT #2).
+            # Mosaic has no value-level dynamic_slice: stage the per-row
+            # (m, inv_l) through a VMEM ref and slice the REF at the
+            # 8-aligned dynamic start.
+            ml_buf[:, 0, :] = jnp.broadcast_to(m, (QB, 128))
+            ml_buf[:, 1, :] = jnp.broadcast_to(inv_l, (QB, 128))
+            m_w = ml_buf[pl.ds(r0_al, WPAD), 0, :][:, 0:1]
+            il_w = ml_buf[pl.ds(r0_al, WPAD), 1, :][:, 0:1]
+
+            def score_body(blk, _):
+                sw = swin_buf[:, pl.ds(blk * KB, KB)]  # [WPAD, KB]
+                p = jnp.exp(sw - m_w) * il_w
+                colsum = jnp.sum(p, axis=0)  # [KB]
+                cur = scores_ref[0, 0, pl.ds(blk * KB, KB)]
+                scores_ref[0, 0, pl.ds(blk * KB, KB)] = cur + colsum
+                return 0
+
+            lax.fori_loop(0, kv_hi, score_body, 0)
+            return
+
+        # Sparse paths / oversize windows: bounded second sweep over K.
         def score_body(blk, _):
             def compute(_):
                 cp = get_k(0, blk)
@@ -373,9 +425,16 @@ def flash_prefill_attention(
         else:
             sink_b, local_b, stride = sparse_pattern
             sparse = True
+    # Window-logit stash rows: 8-aligned cover of W rows after aligning the
+    # start down (needs W + 7 rows).  Oversize windows (streamingllm passes
+    # window = cap - 4 though its scores go unused) fall back to the re-sweep.
+    WPAD = _round_up(window + 7, 8) if window > 0 else 8
+    use_stash = (not sparse) and window > 0 and WPAD <= min(QB, S_pad)
+    if not use_stash:
+        WPAD = 8  # minimal placeholder scratch
     kernel = functools.partial(_flash_kernel, S_pad, QB, KB, D, G, window,
-                               scale, sparse, sink_b, local_b, stride,
-                               use_mask)
+                               WPAD, use_stash, scale, sparse, sink_b,
+                               local_b, stride, use_mask)
 
     n_scalar = len(scalar_args)
     blk_q = lambda h, b, *_: (h, b, 0)
@@ -399,6 +458,13 @@ def flash_prefill_attention(
             # logits ping-pong: dense pipeline only — the sparse paths never
             # touch it, so they get a minimal placeholder instead of QB*KB*8B
             pltpu.VMEM((2, QB, KB) if not sparse else (1, 8, 128),
+                       jnp.float32),
+            # window-row logit stash (dense score emission without a K
+            # re-sweep); placeholder-sized when the stash is off
+            pltpu.VMEM((WPAD, S_pad) if use_stash else (8, 128),
+                       jnp.float32),
+            # (m, inv_l) staging rows for ref-level dynamic row slicing
+            pltpu.VMEM((QB, 2, 128) if use_stash else (1, 8, 128),
                        jnp.float32),
             pltpu.SemaphoreType.DMA((3, 2)),
         ],
