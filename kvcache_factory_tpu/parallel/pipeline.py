@@ -10,10 +10,20 @@ microbatches flow stage-to-stage via ``ppermute`` inside ``shard_map`` — a
 software pipeline with the classic GPipe schedule (M + P - 1 ticks for M
 microbatches over P stages, bubble fraction (P-1)/(M+P-1)).
 
-Scope: full-attention forward to last-token logits (the eval scoring path).
-Cache-building prefill and decode remain on the (dp, tp) + ring-sp meshes —
-for decode, PP only adds transfer latency on a single token; TP is the
-right axis there (SURVEY.md §2.6 table).
+Two entry points:
+
+* :func:`pipeline_forward` — full-attention forward to last-token logits
+  (the eval scoring path).
+* :func:`pp_generate` — the COMPLETE generation loop under pp: GPipe prefill
+  that runs the compression hook per layer and builds each stage's local
+  cache slab, then pipelined greedy decode where activations flow forward
+  stage-to-stage and sampled tokens ride a return ``ppermute`` from the last
+  stage back to stage 0.  With M >= P microbatch groups in flight every
+  stage stays busy in steady state (per-token bubble 0; the token for
+  microbatch m finishes P-1 ticks before stage 0 re-enters m).  Dense bf16
+  cache only; for single-token latency TP remains the right axis
+  (SURVEY.md §2.6 table) — pp_generate is the THROUGHPUT story for models
+  whose layers exceed one chip's HBM.
 """
 
 from __future__ import annotations
@@ -26,10 +36,13 @@ import numpy as np
 from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from ..cache.kv_cache import append_layer, valid_mask
 from ..config import ModelConfig, dtype_of
 from ..models.llama import (_causal_mask, _merge_heads, _split_heads,
-                            apply_rope, grouped_attention, rms_norm,
-                            rope_tables, swiglu_fused)
+                            apply_rope, ffn_block, grouped_attention,
+                            rms_norm, rope_inv_freq, rope_tables,
+                            swiglu_fused)
+from ..policies.methods import LayerContext, compress_prefill
 
 
 def make_pp_mesh(n_stages: int, devices=None) -> Mesh:
@@ -156,4 +169,280 @@ def pipeline_forward(
         in_specs=(param_specs, P(), P()),
         out_specs=P("pp"),
     )(params, tokens, true_len)
+    return out[-1]
+
+
+def pp_generate(
+    params: Dict[str, Any],
+    cfg: ModelConfig,
+    comp,                    # CompressionConfig
+    tokens: jnp.ndarray,     # [B, S] int32, right-padded
+    true_len: jnp.ndarray,   # [B] int32
+    mesh: Mesh,
+    *,
+    n_microbatches: int,
+    max_new_tokens: int,
+    cache_capacity: int = 0,     # 0 = policy capacity + decode headroom
+    head_capacity=None,          # [L, H] int32 (HeadKV), sharded over pp
+    rng=None,                    # PRNG key (cam / random scores)
+) -> jnp.ndarray:
+    """Greedy generation [B, max_new_tokens] fully under pipeline
+    parallelism: compression-hooked cache-building prefill (GPipe schedule)
+    followed by pipelined decode.
+
+    Schedule: prefill tick t runs microbatch ``t - stage`` through each
+    stage's L/P local layers; the compression policy packs each layer's KV
+    into that stage's local cache slab (the cache never leaves its stage).
+    Decode tick ``tau`` runs microbatch ``(tau - stage) % M`` at token step
+    ``(tau - stage) // M + 1``; the last stage's sampled token returns to
+    stage 0 over a ``ppermute`` ring and is consumed M - P + 1 ticks later
+    (requires M >= P; per-token steady-state bubble is zero).
+
+    Scope: dense bf16/fp32 cache, no sliding window.  Quantized / think /
+    eviction caches stay on the (dp, tp) engines — the reference's only
+    multi-GPU placement (accelerate ``device_map``, run_longbench.py:390)
+    composes with nothing at all.
+    """
+    B, S = tokens.shape
+    L = cfg.num_hidden_layers
+    n_stages = mesh.shape["pp"]
+    M = n_microbatches
+    N = max_new_tokens
+    assert B % M == 0, f"batch {B} must divide into {M} microbatches"
+    assert L % n_stages == 0, f"layers {L} must divide over {n_stages} stages"
+    assert M >= n_stages, \
+        f"pipelined decode needs n_microbatches {M} >= stages {n_stages}"
+    assert cfg.sliding_window is None, "pp_generate: no sliding-window support"
+    assert N >= 1
+    mb = B // M
+    Lp = L // n_stages
+    Hq, Hkv, D = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
+    dtype = dtype_of(cfg)
+    cos_p, sin_p = rope_tables(cfg, S)
+    inv_freq = rope_inv_freq(cfg)
+
+    ch = comp.cache_heads(Hq, Hkv)
+    policy_capacity = comp.layer_capacity(L, S)
+    C = cache_capacity or (policy_capacity + N + 1)
+    assert C >= policy_capacity
+
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+    keys = jax.random.split(rng, L)                      # [L] keys, pp-sharded
+    hc = (jnp.zeros((L, ch), jnp.int32) if head_capacity is None
+          else jnp.asarray(head_capacity, jnp.int32))
+
+    use_key = comp.method in ("cam", "random")
+    use_hc = comp.method == "headkv"
+
+    def qkv_of(x, lp, cos, sin):
+        h = rms_norm(x, lp["input_norm"], cfg.rms_norm_eps)
+        qkv = h @ lp["qkv_proj"]
+        if "qkv_bias" in lp:
+            qkv = qkv + lp["qkv_bias"]
+        q = _split_heads(qkv[..., :Hq * D], Hq, D)
+        k = _split_heads(qkv[..., Hq * D:(Hq + Hkv) * D], Hkv, D)
+        v = _split_heads(qkv[..., (Hq + Hkv) * D:], Hkv, D)
+        return apply_rope(q, cos, sin), apply_rope(k, cos, sin), v
+
+    def finish(x, attn, lp):
+        h = _merge_heads(attn) @ lp["o_proj"]
+        if "o_bias" in lp:
+            h = h + lp["o_bias"]
+        x = x + h
+        h2 = rms_norm(x, lp["post_norm"], cfg.rms_norm_eps)
+        return x + ffn_block(h2, lp, cfg)
+
+    def stage_program(params, tokens, true_len, keys, hc):
+        stage = lax.axis_index("pp")
+        last = n_stages - 1
+        fwd = [(i, (i + 1) % n_stages) for i in range(n_stages)]
+        ret = [(n_stages - 1, 0)]
+
+        # ---------------- phase 1: GPipe prefill, building local caches ----
+        def prefill_local(x, len_mb, moff, key_all, hc_all):
+            mask = _causal_mask(S, len_mb, None)
+
+            def layer_fn(x, scanned):
+                lp, li, key, hcl = scanned
+                gl = stage * Lp + li                     # global layer id
+                q, k, v = qkv_of(x, lp, cos_p, sin_p)
+                attn = grouped_attention(q, k, v, mask)
+                x = finish(x, attn, lp)
+                # per-example keys sliced from the GLOBAL batch split so
+                # example i draws the same randomness as the single-program
+                # path regardless of its microbatch (cam/random parity)
+                key_mb = (lax.dynamic_slice_in_dim(
+                    jax.random.split(key, B), moff, mb, 0)
+                    if use_key else None)
+                ctx = LayerContext(gl, hcl if use_hc else None, key_mb, None)
+                packed = compress_prefill(comp, L, policy_capacity, k, v, q,
+                                          len_mb, ctx)
+                pad = C - policy_capacity
+                k_l = jnp.pad(packed.k,
+                              ((0, 0), (0, 0), (0, pad), (0, 0))).astype(dtype)
+                v_l = jnp.pad(packed.v,
+                              ((0, 0), (0, 0), (0, pad), (0, 0))).astype(dtype)
+                return x, (k_l, v_l, packed.lengths)
+
+            x, (k_all, v_all, len_all) = lax.scan(
+                layer_fn, x,
+                (params["layers"], jnp.arange(Lp, dtype=jnp.int32),
+                 key_all, hc_all))
+            return x, k_all, v_all, len_all
+
+        def pre_tick(t, carry):
+            recv, k_c, v_c, len_c, tok0 = carry
+            m = jnp.clip(t - stage, 0, M - 1)
+            active = (t >= stage) & (t - stage < M)
+            toks_mb = lax.dynamic_slice_in_dim(tokens, m * mb, mb, 0)
+            len_mb = lax.dynamic_slice_in_dim(true_len, m * mb, mb, 0)
+
+            fresh = params["embed"][toks_mb].astype(dtype)
+            x_in = jnp.where(stage == 0, fresh, recv)
+            h, k_all, v_all, len_all = prefill_local(x_in, len_mb, m * mb,
+                                                     keys, hc)
+
+            def write(ops):
+                k_c, v_c, len_c = ops
+                off = (0, m * mb, 0, 0, 0)
+                return (lax.dynamic_update_slice(k_c, k_all, off),
+                        lax.dynamic_update_slice(v_c, v_all, off),
+                        lax.dynamic_update_slice(len_c, len_all, (0, m * mb, 0)))
+
+            k_c, v_c, len_c = lax.cond(active, write, lambda o: o,
+                                       (k_c, v_c, len_c))
+
+            emit = (stage == last) & (t >= last) & (t - last < M)
+
+            def sample(tok0):
+                xf = rms_norm(h, params["final_norm"], cfg.rms_norm_eps)
+                last_tok = jnp.maximum(len_mb - 1, 0)
+                x_last = jnp.take_along_axis(xf, last_tok[:, None, None],
+                                             axis=1)[:, 0]
+                logits = (x_last @ params["lm_head"]).astype(jnp.float32)
+                tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                mm = jnp.clip(t - last, 0, M - 1)
+                return lax.dynamic_update_slice_in_dim(tok0, tok[None], mm, 0)
+
+            tok0 = lax.cond(emit, sample, lambda z: z, tok0)
+            recv = lax.ppermute(h, "pp", fwd)
+            return recv, k_c, v_c, len_c, tok0
+
+        var = lambda a: lax.pcast(a, ("pp",), to="varying")
+        recv0 = var(jnp.zeros((mb, S, cfg.hidden_size), dtype))
+        k_c0 = var(jnp.zeros((Lp, B, ch, C, D), dtype))
+        v_c0 = var(jnp.zeros((Lp, B, ch, C, D), dtype))
+        len_c0 = var(jnp.zeros((Lp, B, ch), jnp.int32))
+        tok00 = var(jnp.zeros((M, mb), jnp.int32))
+        _, k_c, v_c, len_c, tok0 = lax.fori_loop(
+            0, M + n_stages - 1, pre_tick,
+            (recv0, k_c0, v_c0, len_c0, tok00))
+
+        # hand every microbatch's first token from the last stage to stage 0
+        tok_buf = lax.ppermute(tok0, "pp", ret)          # [M, mb]
+        out_toks = lax.dynamic_update_slice_in_dim(
+            var(jnp.zeros((B, N), jnp.int32)),
+            tok0.reshape(B)[:, None], 0, 1)
+
+        if N == 1:
+            return out_toks[None]
+
+        # ---------------- phase 2: pipelined decode ------------------------
+        def dec_tick(tau, carry):
+            recv, tok_buf, tok_ring, k_c, v_c, len_c, out_toks = carry
+            u = tau - stage
+            active = (u >= 0) & (u < (N - 1) * M)
+            uc = jnp.clip(u, 0, (N - 1) * M - 1)
+            m = uc % M
+            n = uc // M + 1                              # token step 1..N-1
+
+            # bank the token that arrived over the return ring LAST tick
+            # (produced at tau-1 by the last stage) before any read: with
+            # M == P it is consumed at this very tick.
+            ur = tau - n_stages
+            ur_ok = (ur >= 0) & (ur < (N - 1) * M)
+            mr = jnp.clip(ur, 0, (N - 1) * M - 1) % M
+            tok_buf = jnp.where(
+                (jnp.arange(M)[:, None] == mr) & ur_ok & (stage == 0),
+                tok_ring[None], tok_buf)
+
+            len_mb = lax.dynamic_slice_in_dim(true_len, m * mb, mb, 0)
+            pos = len_mb + n - 1                         # [mb] RoPE position
+            freqs = pos[:, None].astype(jnp.float32) * inv_freq[None]
+            emb = jnp.concatenate([freqs, freqs], axis=-1)[:, None]
+            cos_d, sin_d = jnp.cos(emb), jnp.sin(emb)
+
+            tok_in = lax.dynamic_index_in_dim(tok_buf, m, 0, keepdims=False)
+            fresh = params["embed"][tok_in].astype(dtype)[:, None]
+            x_in = jnp.where(stage == 0, fresh, recv)
+
+            def dec_layer(carry, scanned):
+                x, k_c, v_c, len_c = carry
+                lp, li = scanned
+                q, k, v = qkv_of(x, lp, cos_d, sin_d)
+                if ch == Hq and Hq != Hkv:               # per-query-head cache
+                    G = Hq // Hkv
+                    k = jnp.repeat(k, G, axis=1)
+                    v = jnp.repeat(v, G, axis=1)
+                kl = lax.dynamic_index_in_dim(k_c, li, 0, keepdims=False)
+                vl = lax.dynamic_index_in_dim(v_c, li, 0, keepdims=False)
+                ll = lax.dynamic_index_in_dim(len_c, li, 0, keepdims=False)
+                kl_m = lax.dynamic_slice_in_dim(kl, m * mb, mb, 0)
+                vl_m = lax.dynamic_slice_in_dim(vl, m * mb, mb, 0)
+                ll_m = lax.dynamic_slice_in_dim(ll, m * mb, mb, 0)
+                k_new, v_new, l_new = append_layer(kl_m, vl_m, ll_m,
+                                                   k.astype(dtype),
+                                                   v.astype(dtype))
+                attn = grouped_attention(q, k_new, v_new,
+                                         valid_mask(l_new, C)[:, :, None, :])
+                x = finish(x, attn, lp)
+                # inactive ticks write the old values back (no-op)
+                k_new = jnp.where(active, k_new, kl_m)
+                v_new = jnp.where(active, v_new, vl_m)
+                l_new = jnp.where(active, l_new, ll_m)
+                kl = lax.dynamic_update_slice_in_dim(kl, k_new, m * mb, 0)
+                vl = lax.dynamic_update_slice_in_dim(vl, v_new, m * mb, 0)
+                ll = lax.dynamic_update_slice_in_dim(ll, l_new, m * mb, 0)
+                k_c = lax.dynamic_update_index_in_dim(k_c, kl, li, 0)
+                v_c = lax.dynamic_update_index_in_dim(v_c, vl, li, 0)
+                len_c = lax.dynamic_update_index_in_dim(len_c, ll, li, 0)
+                return (x, k_c, v_c, len_c), None
+
+            (h, k_c, v_c, len_c), _ = lax.scan(
+                dec_layer, (x_in, k_c, v_c, len_c),
+                (params["layers"], jnp.arange(Lp, dtype=jnp.int32)))
+
+            emit = (stage == last) & active
+
+            def sample(ops):
+                tok_ring, out_toks = ops
+                xf = rms_norm(h, params["final_norm"], cfg.rms_norm_eps)
+                logits = (xf[:, 0] @ params["lm_head"]).astype(jnp.float32)
+                tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # [mb]
+                out_toks = lax.dynamic_update_slice(out_toks, tok[:, None],
+                                                    (m * mb, n))
+                return tok, out_toks
+
+            tok_ring, out_toks = lax.cond(emit, sample,
+                                          lambda o: o, (tok_ring, out_toks))
+            recv = lax.ppermute(h, "pp", fwd)
+            tok_ring = lax.ppermute(tok_ring, "pp", ret)
+            return recv, tok_buf, tok_ring, k_c, v_c, len_c, out_toks
+
+        recv0 = var(jnp.zeros((mb, 1, cfg.hidden_size), dtype))
+        ring0 = var(jnp.zeros((mb,), jnp.int32))
+        total = (N - 1) * M + n_stages - 1
+        _, _, _, _, _, _, out_toks = lax.fori_loop(
+            0, total, dec_tick,
+            (recv0, tok_buf, ring0, k_c, v_c, len_c, out_toks))
+        return out_toks[None]
+
+    param_specs = jax.tree.map(lambda _: P(), params)
+    param_specs["layers"] = jax.tree.map(lambda _: P("pp"), params["layers"])
+    out = jax.shard_map(
+        stage_program, mesh=mesh,
+        in_specs=(param_specs, P(), P(), P("pp"), P("pp")),
+        out_specs=P("pp"),
+    )(params, tokens, true_len, keys, hc)
     return out[-1]

@@ -262,10 +262,20 @@ def compress_prefill(
     true_len: jnp.ndarray,  # [B]
     ctx: LayerContext,
 ) -> PackedKV:
-    """Batched wrapper: vmap of :func:`compress_layer` over the batch."""
+    """Batched wrapper: vmap of :func:`compress_layer` over the batch.
+
+    ``ctx.rng`` is either one key (split into ``B`` per-example keys here —
+    the single-program path) or an already-split ``[B]`` key batch (the
+    pp_generate microbatch path passes the global-batch slice so example i
+    draws the same randomness regardless of microbatch placement).
+    """
     B = k.shape[0]
-    rngs = (jax.random.split(ctx.rng, B) if ctx.rng is not None
-            else jnp.zeros((B, 2), jnp.uint32))
+    if ctx.rng is None:
+        rngs = jnp.zeros((B, 2), jnp.uint32)
+    elif getattr(ctx.rng, "ndim", 0) >= 1 and ctx.rng.shape[0] == B:
+        rngs = ctx.rng
+    else:
+        rngs = jax.random.split(ctx.rng, B)
 
     ws = ctx.window_scores
     if ws is None:

@@ -177,6 +177,12 @@ def full_attention_scores(
         return acc, None
 
     init = jnp.zeros((H, S), jnp.float32)
+    # Under shard_map (pp_generate) q/k are varying over the mesh axis while
+    # this zeros init is not; scan requires carry in/out types (incl. varying
+    # manual axes) to match — stamp the init with q's vma.
+    vma = getattr(jax.typeof(q), "vma", frozenset())
+    if vma:
+        init = lax.pcast(init, tuple(vma), to="varying")
     blk_idx = jnp.arange(n_blocks, dtype=jnp.int32)
     scores, _ = lax.scan(body, init, (q_blocks, blk_idx))
 
