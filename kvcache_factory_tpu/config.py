@@ -376,6 +376,13 @@ class ShardingConfig:
     tp: int = 1
     ep: int = 1
     sp: int = 1
+    # Pipeline parallelism: layers sharded over ``pp`` stages; generation
+    # runs the GPipe schedule end-to-end (parallel/pipeline.py pp_generate —
+    # cache-building prefill + pipelined decode with a token-return ring).
+    # Like sp it is a dedicated mesh.  ``pp_microbatches`` (0 = pp) must be
+    # >= pp for bubble-free steady-state decode and divide the batch.
+    pp: int = 1
+    pp_microbatches: int = 0
     # Multi-host: how many of the ``dp`` ways ride DCN (across hosts) rather
     # than ICI.  dp has no collectives during inference (independent batch
     # shards), so it is the axis that belongs on the slow inter-host fabric;
@@ -389,6 +396,12 @@ class ShardingConfig:
         if self.sp > 1 and self.dp * self.tp * self.ep > 1:
             raise ValueError("sp is a dedicated prefill mesh; it does not "
                              "compose with dp/tp/ep in one config")
+        if self.pp > 1 and (self.dp * self.tp * self.ep > 1 or self.sp > 1):
+            raise ValueError("pp is a dedicated mesh; it does not compose "
+                             "with dp/tp/ep/sp in one config")
+        if self.pp_microbatches and self.pp_microbatches < self.pp:
+            raise ValueError("pp_microbatches must be >= pp (GPipe decode "
+                             "needs one microbatch per in-flight stage)")
 
     @property
     def axis_names(self) -> Tuple[str, ...]:

@@ -80,6 +80,13 @@ def add_engine_args(ap: argparse.ArgumentParser) -> None:
                          "shards over sp devices, prefill runs ring "
                          "attention over ICI (dedicated mesh; does not "
                          "compose with dp/tp/ep)")
+    ap.add_argument("--pp", type=int, default=1,
+                    help="pipeline-parallel stages: layers shard over pp "
+                         "devices, generation runs the GPipe schedule "
+                         "(dedicated mesh; dense cache only)")
+    ap.add_argument("--pp_microbatches", type=int, default=0,
+                    help="GPipe microbatches (0 = pp); >= pp keeps decode "
+                         "bubble-free")
     ap.add_argument("--minference_config", type=str, default=None,
                     help="MInference best-pattern JSON (the external "
                          "package's MODEL2PATH schema, minference.py:9-12): "
@@ -178,6 +185,9 @@ def build_engine_from_args(args) -> Tuple[InferenceEngine, object, str]:
                               tp=getattr(args, "tp", 1),
                               ep=getattr(args, "ep", 1),
                               sp=getattr(args, "sp", 1),
+                              pp=getattr(args, "pp", 1),
+                              pp_microbatches=getattr(args,
+                                                      "pp_microbatches", 0),
                               dcn_dp=getattr(args, "dcn_dp", 1))
     if sharding.dp * sharding.tp * sharding.ep > 1:
         from ..parallel.mesh import init_distributed

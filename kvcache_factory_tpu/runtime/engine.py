@@ -47,8 +47,20 @@ class InferenceEngine:
         sh = cfg.sharding
         self.mesh = None
         self.sp_mesh = None
+        self.pp_mesh = None
         self.dp = 1
-        if sh.dp * sh.tp * sh.ep > 1:
+        if sh.pp > 1:
+            # Pipeline parallelism: layers sharded over pp stages; the whole
+            # generation loop runs the GPipe schedule (pp_generate).  The
+            # batch pads to pp_microbatches (>= pp keeps decode bubble-free).
+            from ..parallel.pipeline import make_pp_mesh, shard_params_pp
+            assert cfg.quant is None and not cfg.compression.decode_evict, \
+                "pp composes with the dense cache only"
+            self.pp_mesh = make_pp_mesh(sh.pp)
+            self.pp_m = sh.pp_microbatches or sh.pp
+            params = shard_params_pp(params, self.pp_mesh)
+            self.dp = self.pp_m  # generate_batch pads B to this multiple
+        elif sh.dp * sh.tp * sh.ep > 1:
             from ..parallel.mesh import make_mesh, shard_params
             self.mesh = make_mesh(sh)
             params = shard_params(params, self.mesh, cfg.model)
@@ -125,6 +137,25 @@ class InferenceEngine:
         lens_j = jnp.asarray(lens, jnp.int32)
         cap = self._cache_capacity(S, max_new_tokens)
         comp = self._comp_for_bucket(S)
+        if self.pp_mesh is not None:
+            from ..parallel.pipeline import pp_generate
+            out = jax.jit(lambda p, t, tl: pp_generate(
+                p, self.cfg.model, comp, t, tl, self.pp_mesh,
+                n_microbatches=self.pp_m, max_new_tokens=max_new_tokens,
+                cache_capacity=cap, head_capacity=self.head_capacity,
+                rng=self.rng))(self.params, toks_j, lens_j)
+            # pp_generate is fixed-length greedy; EOS-trim post hoc.  Tokens
+            # up to and INCLUDING the first EOS match generate()'s stream
+            # (identical conditioning until EOS is emitted), and generate()
+            # counts the EOS itself in num_tokens — mirror that.
+            if eos_token_ids:
+                hit = jnp.isin(out, jnp.asarray(eos_token_ids, jnp.int32))
+                num = jnp.where(jnp.any(hit, axis=1),
+                                jnp.argmax(hit, axis=1) + 1,
+                                out.shape[1]).astype(jnp.int32)
+            else:
+                num = jnp.full((out.shape[0],), out.shape[1], jnp.int32)
+            return GenerateResult(tokens=out, num_tokens=num, cache=None)
         if self.sp_mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
             toks_j = jax.device_put(

@@ -268,3 +268,37 @@ def test_longbench_runner_under_sp_matches_single(tiny, tmp_path):
         params, ecfg.replace(sharding=ShardingConfig(sp=4)))
     assert eng_sp.sp_mesh is not None
     assert preds(eng_sp, "sp") == preds(base, "single")
+
+
+@pytest.mark.parametrize("pp,m", [(2, 2), (2, 4)])  # fixture has 2 layers
+def test_inference_engine_pp_matches_single(tiny, pp, m):
+    """--pp routes generation through pp_generate; token streams (and EOS
+    trimming via generate_batch) must match the single-device engine."""
+    params, ecfg = tiny
+    prompts = _prompts(5, rng_seed=21)
+
+    base = InferenceEngine(params, ecfg)
+    expected = base.generate_batch(prompts, 6)
+
+    eng = InferenceEngine(
+        params, ecfg.replace(sharding=ShardingConfig(pp=pp,
+                                                     pp_microbatches=m)))
+    assert eng.pp_mesh is not None
+    assert eng.generate_batch(prompts, 6) == expected
+
+
+def test_inference_engine_pp_eos_trim(tiny):
+    """EOS trimming through the pp path matches generate()'s semantics
+    (EOS included in the emitted prefix)."""
+    params, ecfg = tiny
+    prompts = _prompts(4, rng_seed=33)
+
+    base = InferenceEngine(params, ecfg)
+    eng = InferenceEngine(
+        params, ecfg.replace(sharding=ShardingConfig(pp=2)))
+    # pick an eos id that actually occurs early in the greedy stream so the
+    # trim path is exercised: use the second token of the first base output
+    ref = base.generate_batch(prompts, 6)
+    eos = ref[0][1]
+    assert base.generate_batch(prompts, 6, eos_token_ids=(eos,)) == \
+        eng.generate_batch(prompts, 6, eos_token_ids=(eos,))
