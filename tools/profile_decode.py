@@ -135,9 +135,9 @@ def main():
             return toks
         run = jax.jit(decode_n)
         t = timed(run, params, first, pre.cache) / steps
-        kbuf = pre.cache.k
+        kbuf = pre.cache.k  # [L, B, H, C, D]
         cache_bytes = int(2 * L * kbuf.shape[2] * kbuf.shape[3]
-                          * cache_capacity * 2)
+                          * kbuf.shape[4] * kbuf.dtype.itemsize)
         return t, cache_bytes
 
     t_full, cb_full = build_and_time(args.capacity)
