@@ -19,3 +19,19 @@ jax.config.update("jax_enable_x64", False)
 
 assert jax.devices()[0].platform == "cpu", "tests must run on local CPU devices"
 assert len(jax.devices()) == 8, "expected 8 virtual CPU devices for sharding tests"
+
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """The full 200+-test suite segfaults inside XLA:CPU's compiler near the
+    end of a single-process run (deterministically at whatever test compiles
+    next once enough executables have accumulated — any half of the suite
+    passes).  Dropping the in-process executable cache between modules keeps
+    the process footprint bounded; cross-module recompiles are cheap on CPU.
+    """
+    yield
+    import jax
+    jax.clear_caches()
