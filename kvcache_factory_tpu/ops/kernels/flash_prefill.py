@@ -19,6 +19,24 @@ come out of one kernel:
 Numerical note: scores match the fp32 two-pass softmax exactly (same m/l
 renormalization), solving SURVEY.md §7 hard part #2.
 
+Small-S throughput notes (v5e, round 3): fitting rate vs block size gives
+~1.1 us fixed overhead per [1024, 1024] block-pair against a 144 TF/s
+steady-state rate, so 8k runs at ~91 TF/s while 64k (2048-blocks) reaches
+134.  Two structural attacks were built and MEASURED SLOWER, then reverted:
+(tried: cross-grid-step DMA prefetch of the next step's first K/V blocks —
+the per-step scalar/branch cost exceeds the ~0.3 us DMA latency it hides,
+8k 90.2 -> 87.4, 4k 56.5 -> 53.7 TF/s)
+(tried: flat-pipeline rewrite — one grid step per head, scalar-prefetched
+(qb, blk) pair schedule so the MXU/VPU pipeline never restarts at q-block
+boundaries, whole-head q/o VMEM blocks, select-reset online-softmax carry —
+8k 85.9, 16k 103.8 vs 90.2/111.3 for this kernel: the flattened body's
+per-pair overhead (dynamic q-ref slices, SMEM schedule reads, branchy
+boundary finalize) exceeds the ramp it removes.  A first variant with
+manual q/o DMA and conditional per-q-block waits deadlocked on real
+hardware while passing interpret-mode parity — conditional DMA waits and
+DMA-written HBM *output* refs are the constructs that broke; keep waits
+unconditional and outputs Mosaic-pipelined.)
+
 Shapes: per (batch, query-head) — the wrapper maps heads/batch onto the grid;
 GQA indexes the shared KV head.  Requires lane-aligned head_dim (D % 128 == 0).
 """

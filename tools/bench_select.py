@@ -53,7 +53,7 @@ def _pack_kernel(SB: int, idx_ref, kv_ref, o_ref):
     def _():
         o_ref[0] = jnp.zeros_like(o_ref[0])
 
-    ids = idx_ref[0]  # [CB] int32, global row ids
+    ids = idx_ref[0, 0]  # [CB] int32, global row ids
     local = sb * SB + lax.broadcasted_iota(jnp.int32, (ids.shape[0], SB), 1)
     onehot = (ids[:, None] == local).astype(kv_ref.dtype)  # [CB, SB]
     o_ref[0] += jax.lax.dot_general(
@@ -72,13 +72,15 @@ def pallas_pack(kv: jnp.ndarray, idx: jnp.ndarray, CB: int = 128,
         functools.partial(_pack_kernel, SB),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, CB), lambda h, cb, sb: (h, cb)),
+            # [H, 1, C] layout: a (1, 1, CB) block satisfies the (8, 128)
+            # tile rule (dim -2 equals the full array dim)
+            pl.BlockSpec((1, 1, CB), lambda h, cb, sb: (h, 0, cb)),
             pl.BlockSpec((1, SB, D2), lambda h, cb, sb: (h, sb, 0)),
         ],
         out_specs=pl.BlockSpec((1, CB, D2), lambda h, cb, sb: (h, cb, 0)),
         out_shape=jax.ShapeDtypeStruct((H, C, D2), kv.dtype),
         interpret=interpret,
-    )(idx, kv)
+    )(idx[:, None, :], kv)
 
 
 def bench(fn, *args, iters):
@@ -141,12 +143,18 @@ def main():
                 out = pallas_pack(kvs, idx, CB=min(128, C), SB=1024)
                 return out[0, 0, 0].astype(jnp.float32)
 
-            t_ship = bench(shipped, k, v, scores, iters=args.iters)
-            t_topk = bench(topk_only, scores, iters=args.iters)
-            t_sort = bench(argsort_rank, scores, iters=args.iters)
-            t_pal = bench(pallas_full, scores, kvs, iters=args.iters)
+            row = [("shipped", shipped, (k, v, scores)),
+                   ("topk", topk_only, (scores,)),
+                   ("argsort", argsort_rank, (scores,)),
+                   ("pallas", pallas_full, (scores, kvs))]
+            ts = []
+            for name, fn, fargs in row:
+                t = bench(fn, *fargs, iters=args.iters)
+                ts.append(t)
+                print(f"  [{S} C={C}] {name}: {t*1e3:.3f} ms", flush=True)
+            t_ship, t_topk, t_sort, t_pal = ts
             print(f"{S:>6} {C:>5} | {t_ship*1e3:9.3f} {t_topk*1e3:9.3f} "
-                  f"{t_sort*1e3:9.3f} {t_pal*1e3:9.3f}")
+                  f"{t_sort*1e3:9.3f} {t_pal*1e3:9.3f}", flush=True)
 
 
 if __name__ == "__main__":
