@@ -38,10 +38,10 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..cache.kv_cache import append_layer, valid_mask
 from ..config import ModelConfig, dtype_of
-from ..models.llama import (_causal_mask, _merge_heads, _split_heads,
-                            apply_rope, ffn_block, grouped_attention,
-                            rms_norm, rope_inv_freq, rope_tables,
-                            swiglu_fused)
+from ..models.llama import (_merge_heads, _split_heads, apply_rope,
+                            ffn_block, grouped_attention, rms_norm,
+                            rope_inv_freq, rope_tables, swiglu_fused)
+from ..ops.attention import blocked_causal_attention
 from ..policies.methods import LayerContext, compress_prefill
 
 
@@ -87,7 +87,7 @@ def pipeline_forward(
     dtype = dtype_of(cfg)
     cos, sin = rope_tables(cfg, S)
 
-    def apply_local_layers(x, layers, mask):
+    def apply_local_layers(x, layers, len_mb):
         def layer_fn(x, lp):
             h = rms_norm(x, lp["input_norm"], cfg.rms_norm_eps)
             qkv = h @ lp["qkv_proj"]
@@ -98,7 +98,10 @@ def pipeline_forward(
             v = _split_heads(qkv[..., (Hq + Hkv) * D:], Hkv, D)
             q = apply_rope(q, cos, sin)
             k = apply_rope(k, cos, sin)
-            attn = grouped_attention(q, k, v, mask)
+            # q-row blocked (O(q_block * S) memory, exact math) — a full
+            # [mb, Hq, S, S] mask would OOM at the long contexts pp targets.
+            attn = blocked_causal_attention(q, k, v, len_mb,
+                                            cfg.sliding_window)
             h = _merge_heads(attn) @ lp["o_proj"]
             if "o_bias" in lp:
                 h = h + lp["o_bias"]
@@ -120,11 +123,10 @@ def pipeline_forward(
             mb_idx = jnp.clip(t - stage, 0, M - 1)
             toks_mb = lax.dynamic_slice_in_dim(tokens, mb_idx * mb, mb, 0)
             len_mb = lax.dynamic_slice_in_dim(true_len, mb_idx * mb, mb, 0)
-            mask = _causal_mask(S, len_mb, cfg.sliding_window)
 
             fresh = params["embed"][toks_mb].astype(dtype)
             x_in = jnp.where(stage == 0, fresh, recv)
-            h = apply_local_layers(x_in, params["layers"], mask)
+            h = apply_local_layers(x_in, params["layers"], len_mb)
 
             # Last stage finishes microbatch t - (P-1): final norm + logits
             # at each sequence's last valid token.  The vocab-wide lm_head
@@ -224,7 +226,12 @@ def pp_generate(
     ch = comp.cache_heads(Hq, Hkv)
     policy_capacity = comp.layer_capacity(L, S)
     C = cache_capacity or (policy_capacity + N + 1)
-    assert C >= policy_capacity
+    # Decode appends N-1 tokens per sequence and append_layer silently drops
+    # writes once lengths == C — an undersized caller-supplied capacity would
+    # silently truncate attention instead of failing loudly (advisor round 3).
+    assert C >= policy_capacity + N - 1, (
+        f"cache_capacity {C} < policy capacity {policy_capacity} + "
+        f"{N - 1} decode appends")
 
     if rng is None:
         rng = jax.random.PRNGKey(0)
@@ -261,13 +268,14 @@ def pp_generate(
 
         # ---------------- phase 1: GPipe prefill, building local caches ----
         def prefill_local(x, len_mb, moff, key_all, hc_all):
-            mask = _causal_mask(S, len_mb, None)
-
             def layer_fn(x, scanned):
                 lp, li, key, hcl = scanned
                 gl = stage * Lp + li                     # global layer id
                 q, k, v = qkv_of(x, lp, cos_p, sin_p)
-                attn = grouped_attention(q, k, v, mask)
+                # q-row blocked like the single-program prefill: a full
+                # [mb, Hq, S, S] fp32 logits tensor would OOM at the long
+                # contexts pp_generate exists for (advisor round 3).
+                attn = blocked_causal_attention(q, k, v, len_mb, None)
                 x = finish(x, attn, lp)
                 # per-example keys sliced from the GLOBAL batch split so
                 # example i draws the same randomness as the single-program

@@ -272,10 +272,18 @@ def compress_prefill(
     B = k.shape[0]
     if ctx.rng is None:
         rngs = jnp.zeros((B, 2), jnp.uint32)
-    elif getattr(ctx.rng, "ndim", 0) >= 1 and ctx.rng.shape[0] == B:
-        rngs = ctx.rng
     else:
-        rngs = jax.random.split(ctx.rng, B)
+        # Pre-split [B] key batches are detected by key STRUCTURE, never by
+        # comparing the leading dim to B: a single legacy uint32 key has
+        # shape (2,) and would read as a [B] batch at B == 2 (crashing the
+        # vmapped compress_layer with scalar key halves).  Typed prng keys:
+        # single = ndim 0, batch = ndim 1.  Legacy uint32: single = ndim 1
+        # ((2,)), batch = ndim 2 ([B, 2]).
+        if jnp.issubdtype(ctx.rng.dtype, jax.dtypes.prng_key):
+            presplit = ctx.rng.ndim == 1
+        else:
+            presplit = ctx.rng.ndim == 2
+        rngs = ctx.rng if presplit else jax.random.split(ctx.rng, B)
 
     ws = ctx.window_scores
     if ws is None:

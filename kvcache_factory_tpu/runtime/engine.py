@@ -43,6 +43,7 @@ class InferenceEngine:
                                else jnp.asarray(sparse_budgets, jnp.int32))
         self.rng = rng if rng is not None else jax.random.PRNGKey(0)
         self.buckets = sorted(cfg.prefill_buckets)
+        self._pp_jit = {}  # (S, max_new_tokens, cap) -> jitted pp_generate
 
         sh = cfg.sharding
         self.mesh = None
@@ -54,8 +55,10 @@ class InferenceEngine:
             # generation loop runs the GPipe schedule (pp_generate).  The
             # batch pads to pp_microbatches (>= pp keeps decode bubble-free).
             from ..parallel.pipeline import make_pp_mesh, shard_params_pp
-            assert cfg.quant is None and not cfg.compression.decode_evict, \
-                "pp composes with the dense cache only"
+            assert (cfg.quant is None and not cfg.compression.decode_evict
+                    and not cfg.compression.think_packed), \
+                "pp composes with the dense cache only (no quant / " \
+                "decode_evict / think_packed — those stay on (dp, tp))"
             self.pp_mesh = make_pp_mesh(sh.pp)
             self.pp_m = sh.pp_microbatches or sh.pp
             params = shard_params_pp(params, self.pp_mesh)
@@ -138,12 +141,21 @@ class InferenceEngine:
         cap = self._cache_capacity(S, max_new_tokens)
         comp = self._comp_for_bucket(S)
         if self.pp_mesh is not None:
-            from ..parallel.pipeline import pp_generate
-            out = jax.jit(lambda p, t, tl: pp_generate(
-                p, self.cfg.model, comp, t, tl, self.pp_mesh,
-                n_microbatches=self.pp_m, max_new_tokens=max_new_tokens,
-                cache_capacity=cap, head_capacity=self.head_capacity,
-                rng=self.rng))(self.params, toks_j, lens_j)
+            # jax.jit caches on the function OBJECT: a fresh lambda per call
+            # would re-trace (20-40 s on axon) every generate_batch.  Memoize
+            # the jitted callable per (bucket, new-token, capacity) triple —
+            # comp/cap derive deterministically from (S, max_new_tokens).
+            key = (S, max_new_tokens, cap)
+            fn = self._pp_jit.get(key)
+            if fn is None:
+                from ..parallel.pipeline import pp_generate
+                fn = jax.jit(lambda p, t, tl: pp_generate(
+                    p, self.cfg.model, comp, t, tl, self.pp_mesh,
+                    n_microbatches=self.pp_m, max_new_tokens=max_new_tokens,
+                    cache_capacity=cap, head_capacity=self.head_capacity,
+                    rng=self.rng))
+                self._pp_jit[key] = fn
+            out = fn(self.params, toks_j, lens_j)
             # pp_generate is fixed-length greedy; EOS-trim post hoc.  Tokens
             # up to and INCLUDING the first EOS match generate()'s stream
             # (identical conditioning until EOS is emitted), and generate()

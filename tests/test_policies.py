@@ -422,3 +422,40 @@ def test_cam_group_reduce_mean_shapes():
     assert packed.k.shape[0] == hkv
     assert np.all(np.asarray(packed.lengths) == 32)
     assert np.isfinite(np.asarray(packed.v)).all()
+
+
+def test_single_key_batch2_not_mistaken_for_presplit():
+    """Advisor round 3 (high): a single legacy PRNGKey has shape (2,) —
+    at B == 2 the old shape[0] == B check treated it as a pre-split key
+    batch, handing scalar key halves to the vmapped compress_layer and
+    crashing cam/random generation at trace time.  A single unsplit key
+    must be split; a genuine [B]-key batch must pass through unchanged."""
+    from kvcache_factory_tpu.policies import compress_prefill
+    rng = np.random.default_rng(31)
+    B = 2
+    q = rng.normal(size=(B, H, S, D)).astype(np.float32)
+    k = rng.normal(size=(B, H, S, D)).astype(np.float32)
+    v = rng.normal(size=(B, H, S, D)).astype(np.float32)
+    true_len = jnp.asarray([S, S], jnp.int32)
+    for method in ("cam", "random"):
+        cfg = CompressionConfig(method=method, max_capacity_prompt=32,
+                                window_size=W)
+        # single legacy key (shape (2,)) — the regression case
+        ctx = LayerContext(jnp.int32(0), None, jax.random.PRNGKey(7))
+        packed = compress_prefill(cfg, 8, 32, jnp.asarray(k), jnp.asarray(v),
+                                  jnp.asarray(q), true_len, ctx)
+        assert packed.k.shape == (B, H, 32, D)
+        # single TYPED key (ndim 0) must also split
+        ctx_t = LayerContext(jnp.int32(0), None, jax.random.key(7))
+        packed_t = compress_prefill(cfg, 8, 32, jnp.asarray(k),
+                                    jnp.asarray(v), jnp.asarray(q),
+                                    true_len, ctx_t)
+        assert packed_t.k.shape == (B, H, 32, D)
+        # pre-split [B, 2] legacy batch passes through: same keys -> same output
+        keys = jax.random.split(jax.random.PRNGKey(7), B)
+        ctx_b = LayerContext(jnp.int32(0), None, keys)
+        packed_b = compress_prefill(cfg, 8, 32, jnp.asarray(k),
+                                    jnp.asarray(v), jnp.asarray(q),
+                                    true_len, ctx_b)
+        np.testing.assert_array_equal(np.asarray(packed.k),
+                                      np.asarray(packed_b.k))
