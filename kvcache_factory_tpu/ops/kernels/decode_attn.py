@@ -53,7 +53,7 @@ overlapping it reads correct data regardless of ordering.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -71,6 +71,7 @@ MAX_BLK = 4096    # rows per chunk cap (keeps 6 slot buffers ~6 MB at D=128)
 def _decode_kernel(C: int, BLK: int, NC: int, G: int, D: int, H: int,
                    lens_ref,            # scalar prefetch [H] (SMEM)
                    lidx_ref,            # scalar prefetch [1] (SMEM): layer
+                   lower_ref,           # scalar prefetch [H] (SMEM): window lo
                    q_ref,               # VMEM [1, G, D]
                    knew_ref, vnew_ref,  # VMEM [1, 1, D]
                    k_hbm, v_hbm,        # HBM [Lyr, H, C, D] (aliased outputs)
@@ -86,6 +87,13 @@ def _decode_kernel(C: int, BLK: int, NC: int, G: int, D: int, H: int,
     # always leaves headroom, this guard overwrites the last slot instead of
     # corrupting memory if it ever happens.
     L = jnp.minimum(lens_ref[h], C - 1)
+    # Sliding-window lower bound on the valid range (0 = dense).  The caller
+    # computes it per head (decode_step: cache rows below pos+1-window are
+    # masked only when the cache index IS the absolute position — the
+    # identity rows of decode_mask; Mistral/Qwen2 HF decode semantics,
+    # mistral_model.py:2511-2535).  The just-appended token is always the
+    # newest and never window-masked.
+    lo = lower_ref[h]
 
     def chunk_copies(gi):
         """DMA descriptor pair for global chunk gi = head * NC + c."""
@@ -174,7 +182,7 @@ def _decode_kernel(C: int, BLK: int, NC: int, G: int, D: int, H: int,
                                 preferred_element_type=jnp.float32)  # [G, BLK]
         sc = jnp.minimum(c * BLK, C - BLK)  # last chunk re-reads the tail
         ids = sc + jax.lax.broadcasted_iota(jnp.int32, (G, BLK), 1)
-        s = jnp.where((ids >= c * BLK) & (ids < L), s, NEG_INF)
+        s = jnp.where((ids >= c * BLK) & (ids >= lo) & (ids < L), s, NEG_INF)
 
         m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
         p = jnp.exp(s - m_new)
@@ -219,12 +227,16 @@ def decode_attention_append_stacked(
     k_new: jnp.ndarray,    # [H, D]
     v_new: jnp.ndarray,    # [H, D]
     interpret: bool = False,
+    lower: Optional[jnp.ndarray] = None,  # [H] int32 sliding-window lo bound
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Returns (out [H, G, D], k_all', v_all', lengths').
 
     Layer ``layer`` of the stacked caches is updated in place (entry
     ``lengths[h]`` receives the new token); nothing else moves — the caller
     keeps the stacks in a scan carry and the whole decode step is zero-copy.
+
+    ``lower`` masks cache entries below it out of the attention (per head);
+    the sliding-window decode bound (None = dense, no masking).
     """
     Lyr, H, C, D = k_all.shape
     G = q.shape[1]
@@ -239,22 +251,24 @@ def decode_attention_append_stacked(
 
     kernel = functools.partial(_decode_kernel, C, BLK, NC, G, D, H)
     lidx = jnp.asarray(layer, jnp.int32).reshape(1)
+    if lower is None:
+        lower = jnp.zeros((H,), jnp.int32)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(H,),
         in_specs=[
-            pl.BlockSpec((1, G, D), lambda h, lens, li: (h, 0, 0),
+            pl.BlockSpec((1, G, D), lambda h, *_: (h, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, D), lambda h, lens, li: (h, 0, 0),
+            pl.BlockSpec((1, 1, D), lambda h, *_: (h, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, D), lambda h, lens, li: (h, 0, 0),
+            pl.BlockSpec((1, 1, D), lambda h, *_: (h, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.HBM),
             pl.BlockSpec(memory_space=pltpu.HBM),
         ],
         out_specs=[
-            pl.BlockSpec((1, G, D), lambda h, lens, li: (h, 0, 0),
+            pl.BlockSpec((1, G, D), lambda h, *_: (h, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.HBM),
             pl.BlockSpec(memory_space=pltpu.HBM),
@@ -278,11 +292,12 @@ def decode_attention_append_stacked(
             jax.ShapeDtypeStruct(v_all.shape, v_all.dtype),
         ],
         # Indices include the scalar-prefetch operands: 0=lengths, 1=layer,
-        # 2=q, 3=k_new, 4=v_new, 5=k_all, 6=v_all.
-        input_output_aliases={5: 1, 6: 2},
+        # 2=lower, 3=q, 4=k_new, 5=v_new, 6=k_all, 7=v_all.
+        input_output_aliases={6: 1, 7: 2},
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
-    )(lengths, lidx, q, k_new[:, None, :], v_new[:, None, :], k_all, v_all)
+    )(lengths, lidx, lower, q, k_new[:, None, :], v_new[:, None, :],
+      k_all, v_all)
 
     return out, k_out, v_out, jnp.minimum(lengths + 1, C)
 
@@ -297,6 +312,7 @@ def decode_attention_append_stacked_sharded(
     k_new: jnp.ndarray,    # [B, H, D]
     v_new: jnp.ndarray,    # [B, H, D]
     interpret: bool = False,
+    lower: Optional[jnp.ndarray] = None,  # [B, H] int32 window lo bound
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Multi-device decode: batch shards over ``dp``, cache heads over ``tp``,
     and every device runs the single-chip kernel on its local rows.
@@ -323,13 +339,17 @@ def decode_attention_append_stacked_sharded(
     assert B % dp == 0 and H % tp == 0, (
         f"batch {B} %% dp {dp} and cache heads {H} %% tp {tp} must be 0")
 
-    def local(q4, kals, vals, lens2, li, kn, vn):
+    if lower is None:
+        lower = jnp.zeros((B, H), jnp.int32)
+
+    def local(q4, kals, vals, lens2, li, kn, vn, lo2):
         Bl, Hl = q4.shape[0], q4.shape[1]
         BHl = Bl * Hl
         out, k_o, v_o, lens_o = decode_attention_append_stacked(
             q4.reshape(BHl, G, D), kals.reshape(Lyr, BHl, C, D),
             vals.reshape(Lyr, BHl, C, D), lens2.reshape(BHl), li,
-            kn.reshape(BHl, D), vn.reshape(BHl, D), interpret=interpret)
+            kn.reshape(BHl, D), vn.reshape(BHl, D), interpret=interpret,
+            lower=lo2.reshape(BHl))
         return (out.reshape(Bl, Hl, G, D),
                 k_o.reshape(Lyr, Bl, Hl, C, D),
                 v_o.reshape(Lyr, Bl, Hl, C, D), lens_o.reshape(Bl, Hl))
@@ -337,12 +357,13 @@ def decode_attention_append_stacked_sharded(
     fn = jax.shard_map(
         local, mesh=mesh,
         in_specs=(P("dp", "tp"), P(None, "dp", "tp"), P(None, "dp", "tp"),
-                  P("dp", "tp"), P(), P("dp", "tp"), P("dp", "tp")),
+                  P("dp", "tp"), P(), P("dp", "tp"), P("dp", "tp"),
+                  P("dp", "tp")),
         out_specs=(P("dp", "tp"), P(None, "dp", "tp"), P(None, "dp", "tp"),
                    P("dp", "tp")),
         check_vma=False)
     return fn(q, k_all, v_all, lengths,
-              jnp.asarray(layer, jnp.int32).reshape(()), k_new, v_new)
+              jnp.asarray(layer, jnp.int32).reshape(()), k_new, v_new, lower)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -354,6 +375,7 @@ def decode_attention_append(
     k_new: jnp.ndarray,    # [H, D]
     v_new: jnp.ndarray,    # [H, D]
     interpret: bool = False,
+    lower: Optional[jnp.ndarray] = None,  # [H] int32 window lo bound
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Single-layer convenience wrapper: a stack of one layer.
 
@@ -369,7 +391,8 @@ def decode_attention_append(
         v_cache = jnp.pad(v_cache, pad)
     out, k_out, v_out, _ = decode_attention_append_stacked(
         q, k_cache[None], v_cache[None], lengths,
-        jnp.zeros((1,), jnp.int32), k_new, v_new, interpret=interpret)
+        jnp.zeros((1,), jnp.int32), k_new, v_new, interpret=interpret,
+        lower=lower)
     k_out = k_out[0]
     v_out = v_out[0]
     if C_pad != C:

@@ -328,7 +328,7 @@ def test_sparse_head_budgets_through_prefill_interpret():
     tl = jnp.asarray([S], jnp.int32)
 
     import kvcache_factory_tpu.ops.kernels.flash_prefill as fp
-    orig = fp.flash_prefill_attention
+    orig = fp.flash_prefill_attention_batched
 
     def interp(*a, **kw):
         kw["interpret"] = True
@@ -340,7 +340,7 @@ def test_sparse_head_budgets_through_prefill_interpret():
     L, Hq = cfg.num_hidden_layers, cfg.num_attention_heads
     full = np.full((L, Hq, 2), (64, 16), np.int32)
     tiny = np.full((L, Hq, 2), (1, 1), np.int32)
-    with mock.patch.object(fp, "flash_prefill_attention", interp), \
+    with mock.patch.object(fp, "flash_prefill_attention_batched", interp), \
             mock.patch.object(jax, "default_backend", lambda: "tpu"):
         base = llama.prefill(params, cfg, comp, toks, tl, cache_capacity=S)
         got_full = llama.prefill(params, cfg, comp, toks, tl,
@@ -384,3 +384,67 @@ def test_minference_config_loader(tmp_path):
         bad = tmp_path / "bad.json"
         bad.write_text('{"not": "a list"}')
         load_sparse_budgets(str(bad), 1, 1, 8, 8)
+
+
+def test_flash_prefill_batched_matches_per_example_calls():
+    """VERDICT round-3 #4: one pallas_call for B>1 (grid (B, Hq, n_qb),
+    true_len as a [B] scalar-prefetch vector) must reproduce the per-example
+    calls exactly — including ragged per-example lengths and per-example
+    window-score masking."""
+    from kvcache_factory_tpu.ops.kernels.flash_prefill import (
+        flash_prefill_attention_batched)
+    B, Hq, G, S, W = 3, 4, 2, 256, 16
+    Hkv = Hq // G
+    rng = np.random.default_rng(23)
+    q = rng.normal(size=(B, Hq, S, D)).astype(np.float32)
+    k = rng.normal(size=(B, Hkv, S, D)).astype(np.float32)
+    v = rng.normal(size=(B, Hkv, S, D)).astype(np.float32)
+    tls = np.asarray([S, 200, 97], np.int32)
+
+    out_b, sc_b = flash_prefill_attention_batched(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), jnp.asarray(tls),
+        window=W, q_block=64, kv_block=64, interpret=True)
+
+    for b in range(B):
+        out_1, sc_1 = flash_prefill_attention(
+            jnp.asarray(q[b]), jnp.asarray(k[b]), jnp.asarray(v[b]),
+            jnp.asarray(tls[b]), window=W, q_block=64, kv_block=64,
+            interpret=True)
+        tl = int(tls[b])
+        np.testing.assert_array_equal(np.asarray(out_b)[b, :, :tl],
+                                      np.asarray(out_1)[:, :tl])
+        np.testing.assert_array_equal(np.asarray(sc_b)[b, :, :tl - W],
+                                      np.asarray(sc_1)[:, :tl - W])
+        # and vs the independent oracle
+        kg = np.repeat(k[b], G, axis=0)
+        vg = np.repeat(v[b], G, axis=0)
+        exp = ref_causal_attention(q[b], kg, vg, tl)
+        np.testing.assert_allclose(np.asarray(out_b)[b, :, :tl],
+                                   exp[:, :tl], rtol=2e-5, atol=2e-5)
+
+
+def test_flash_prefill_batched_vertical_slash():
+    """Batched vertical-slash: the per-example block masks ride the scalar
+    prefetch as [B, Hq, n_qb, n_kvb]."""
+    from kvcache_factory_tpu.ops.kernels.flash_prefill import (
+        flash_prefill_attention_batched)
+    B, Hq, S = 2, 2, 256
+    rng = np.random.default_rng(29)
+    q = rng.normal(size=(B, Hq, S, D)).astype(np.float32)
+    k = rng.normal(size=(B, Hq, S, D)).astype(np.float32)
+    v = rng.normal(size=(B, Hq, S, D)).astype(np.float32)
+    tls = np.asarray([S, 180], np.int32)
+    pat = ("vertical_slash", 64, 16, 16)
+
+    out_b, _ = flash_prefill_attention_batched(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), jnp.asarray(tls),
+        window=0, q_block=64, kv_block=64, interpret=True,
+        sparse_pattern=pat)
+    for b in range(B):
+        out_1, _ = flash_prefill_attention(
+            jnp.asarray(q[b]), jnp.asarray(k[b]), jnp.asarray(v[b]),
+            jnp.asarray(tls[b]), window=0, q_block=64, kv_block=64,
+            interpret=True, sparse_pattern=pat)
+        tl = int(tls[b])
+        np.testing.assert_array_equal(np.asarray(out_b)[b, :, :tl],
+                                      np.asarray(out_1)[:, :tl])

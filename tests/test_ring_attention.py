@@ -32,3 +32,97 @@ def test_ring_attention_matches_dense(n_dev, true_len):
     o, r = np.asarray(out), np.asarray(ref)
     np.testing.assert_allclose(o[:, :, :true_len], r[:, :, :true_len],
                                rtol=2e-5, atol=2e-5)
+
+
+def test_ring_attention_sliding_window_matches_dense():
+    """Window masking in the ring fold (Mistral/Qwen2 under sp)."""
+    devices = np.array(jax.devices()[:4])
+    mesh = Mesh(devices, ("sp",))
+    B, Hq, Hkv, S, D, W = 2, 4, 2, 256, 32, 40
+    rng = np.random.default_rng(3)
+    q = rng.normal(size=(B, Hq, S, D)).astype(np.float32)
+    k = rng.normal(size=(B, Hkv, S, D)).astype(np.float32)
+    v = rng.normal(size=(B, Hkv, S, D)).astype(np.float32)
+    tl = np.asarray([S, 200], np.int32)
+
+    ring = make_ring_attention(mesh, "sp", sliding_window=W)
+    with mesh:
+        out = ring(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+                   jnp.asarray(tl))
+    ref = blocked_causal_attention(jnp.asarray(q), jnp.asarray(k),
+                                   jnp.asarray(v), jnp.asarray(tl),
+                                   sliding_window=W)
+    o, r = np.asarray(out), np.asarray(ref)
+    for b, t in enumerate(tl):
+        np.testing.assert_allclose(o[b, :, :t], r[b, :, :t],
+                                   rtol=2e-5, atol=2e-5)
+    # and the window actually bites vs the dense ring
+    dense = make_ring_attention(mesh, "sp")
+    with mesh:
+        od = np.asarray(dense(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+                              jnp.asarray(tl)))
+    assert np.abs(od[:, :, :200] - o[:, :, :200]).max() > 1e-3
+
+
+def test_ring_attention_block_size_invariant():
+    """The q-row blocking is a pure partition of independent rows — results
+    agree across block sizes to fp32 noise (XLA retiles the per-shape
+    einsums, so bit-identity is not guaranteed, but the math is row-local)."""
+    devices = np.array(jax.devices()[:4])
+    mesh = Mesh(devices, ("sp",))
+    B, Hq, Hkv, S, D = 1, 2, 2, 256, 32
+    rng = np.random.default_rng(5)
+    q = rng.normal(size=(B, Hq, S, D)).astype(np.float32)
+    k = rng.normal(size=(B, Hkv, S, D)).astype(np.float32)
+    v = rng.normal(size=(B, Hkv, S, D)).astype(np.float32)
+    tl = np.full((B,), S, np.int32)
+
+    import functools
+    from jax import shard_map
+    from kvcache_factory_tpu.parallel.ring_attention import ring_attention
+    outs = []
+    for qb in (16, 48, 4096):  # 48 does not divide S_loc=64 -> pad path
+        fn = shard_map(
+            functools.partial(ring_attention, axis_name="sp", q_block=qb),
+            mesh=mesh,
+            in_specs=(P(None, None, "sp", None),) * 3 + (P(None),),
+            out_specs=P(None, None, "sp", None))
+        with mesh:
+            outs.append(np.asarray(fn(jnp.asarray(q), jnp.asarray(k),
+                                      jnp.asarray(v), jnp.asarray(tl))))
+    np.testing.assert_allclose(outs[0], outs[1], rtol=2e-6, atol=2e-6)
+    np.testing.assert_allclose(outs[0], outs[2], rtol=2e-6, atol=2e-6)
+
+
+def test_ring_attention_16k_per_shard_scale():
+    """VERDICT round-3 #3 'done' criterion: a 16k-per-shard run.  The old
+    fold materialized [B, Hkv, G, S_loc, S_loc] fp32 logits per hop — at
+    S_loc=16384 that is 1 GB per device per array (several alive at once),
+    which OOMs the test runner; the blocked fold peaks at
+    QB x S_loc x 4 = 64 MB transient logits.  Oracle: exact numpy attention
+    at 24 sampled rows (independent, cheap)."""
+    devices = np.array(jax.devices()[:2])
+    mesh = Mesh(devices, ("sp",))
+    S_loc, B, D = 16384, 1, 64
+    S = 2 * S_loc
+    tl_val = S - 2500  # padding crosses into the last shard
+    rng = np.random.default_rng(7)
+    q = rng.normal(size=(B, 1, S, D)).astype(np.float32)
+    k = rng.normal(size=(B, 1, S, D)).astype(np.float32)
+    v = rng.normal(size=(B, 1, S, D)).astype(np.float32)
+    tl = np.full((B,), tl_val, np.int32)
+
+    ring = make_ring_attention(mesh, "sp")
+    with mesh:
+        out = np.asarray(ring(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+                              jnp.asarray(tl)))
+    assert np.isfinite(out[:, :, :tl_val]).all()
+
+    rows = [0, 1, 513, 16383, 16384, 16385, 29000, tl_val - 1]
+    for r in rows:
+        lim = min(r + 1, tl_val)
+        s = (q[0, 0, r] @ k[0, 0, :lim].T) / np.sqrt(D)
+        p = np.exp(s - s.max())
+        p /= p.sum()
+        exp = p @ v[0, 0, :lim]
+        np.testing.assert_allclose(out[0, 0, r], exp, rtol=3e-5, atol=3e-5)
