@@ -330,6 +330,115 @@ def quant_decode_attention_append_stacked(
     return out, kc, vc, sc, jnp.minimum(lengths + 1, C)
 
 
+def quant_decode_attention_append_stacked_sharded(
+    mesh,                   # jax.sharding.Mesh with "dp" and "tp" axes
+    q: jnp.ndarray,         # [B, H, G, D] (H = cache heads, NOT fused with B)
+    k_codes: jnp.ndarray,   # [Lyr, B, H, C, D] int8
+    v_codes: jnp.ndarray,   # [Lyr, B, H, C, D] int8
+    scales: jnp.ndarray,    # [Lyr, B, H, 4, C] bf16
+    lengths: jnp.ndarray,   # [B, H] int32 (this layer)
+    layer: jnp.ndarray,     # [] int32
+    k_new: jnp.ndarray,     # [B, H, D] fp
+    v_new: jnp.ndarray,
+    interpret: bool = False,
+):
+    """Multi-device INT8 quant decode (VERDICT round-3 #2): batch shards over
+    ``dp``, cache heads over ``tp``; every device runs the single-chip fused
+    dequant kernel on its [B/dp, H/tp] tile.  The kernel is head-local (codes
+    + the wide scale planes + lens all tile the same way, no collectives in
+    the attention), so this is the bf16 sharded wrapper
+    (decode_attn.py::decode_attention_append_stacked_sharded) applied to the
+    quant stacks — the repo's best serving numbers were previously
+    unreachable on any mesh (runtime gates dropped this round).
+    No reference counterpart — north-star tokens/s at scale."""
+    from jax.sharding import PartitionSpec as P
+
+    B, H, G, D = q.shape
+    Lyr, _, _, C, _ = k_codes.shape
+    dp = mesh.shape.get("dp", 1)
+    tp = mesh.shape.get("tp", 1)
+    assert B % dp == 0 and H % tp == 0, (
+        f"batch {B} %% dp {dp} and cache heads {H} %% tp {tp} must be 0")
+
+    def local(q4, kcs, vcs, scs, lens2, li, kn, vn):
+        Bl, Hl = q4.shape[0], q4.shape[1]
+        BHl = Bl * Hl
+        out, kc_o, vc_o, sc_o, lens_o = quant_decode_attention_append_stacked(
+            q4.reshape(BHl, G, D), kcs.reshape(Lyr, BHl, C, D),
+            vcs.reshape(Lyr, BHl, C, D), scs.reshape(Lyr, BHl, N_PLANES, C),
+            lens2.reshape(BHl), li, kn.reshape(BHl, D), vn.reshape(BHl, D),
+            interpret=interpret)
+        return (out.reshape(Bl, Hl, G, D),
+                kc_o.reshape(Lyr, Bl, Hl, C, D),
+                vc_o.reshape(Lyr, Bl, Hl, C, D),
+                sc_o.reshape(Lyr, Bl, Hl, N_PLANES, C),
+                lens_o.reshape(Bl, Hl))
+
+    fn = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P("dp", "tp"), P(None, "dp", "tp"), P(None, "dp", "tp"),
+                  P(None, "dp", "tp"), P("dp", "tp"), P(),
+                  P("dp", "tp"), P("dp", "tp")),
+        out_specs=(P("dp", "tp"), P(None, "dp", "tp"), P(None, "dp", "tp"),
+                   P(None, "dp", "tp"), P("dp", "tp")),
+        check_vma=False)
+    return fn(q, k_codes, v_codes, scales, lengths,
+              jnp.asarray(layer, jnp.int32).reshape(()), k_new, v_new)
+
+
+def quant4_decode_attention_append_stacked_sharded(
+    mesh,                   # jax.sharding.Mesh with "dp" and "tp" axes
+    q: jnp.ndarray,         # [B, H, G, D]
+    k_codes: jnp.ndarray,   # [Lyr, B, H, C//2, D] int8 (token-block nibbles)
+    v_codes: jnp.ndarray,   # [Lyr, B, H, C//2, D] int8
+    scales: jnp.ndarray,    # [Lyr, B, H, 4, C] bf16
+    lengths: jnp.ndarray,   # [B, H] int32 (this layer)
+    layer: jnp.ndarray,     # [] int32
+    k_new: jnp.ndarray,     # [B, H, D] fp
+    v_new: jnp.ndarray,
+    interpret: bool = False,
+):
+    """INT4 variant of :func:`quant_decode_attention_append_stacked_sharded`
+    — the nibble planes tile over (dp, tp) exactly like the int8 codes (the
+    token-block packing lives inside each head's [C2, D] plane)."""
+    from jax.sharding import PartitionSpec as P
+
+    B, H, G, D = q.shape
+    Lyr, _, _, C2, _ = k_codes.shape
+    C = 2 * C2
+    dp = mesh.shape.get("dp", 1)
+    tp = mesh.shape.get("tp", 1)
+    assert B % dp == 0 and H % tp == 0, (
+        f"batch {B} %% dp {dp} and cache heads {H} %% tp {tp} must be 0")
+
+    def local(q4, kcs, vcs, scs, lens2, li, kn, vn):
+        Bl, Hl = q4.shape[0], q4.shape[1]
+        BHl = Bl * Hl
+        out, kc_o, vc_o, sc_o, lens_o = \
+            quant4_decode_attention_append_stacked(
+                q4.reshape(BHl, G, D), kcs.reshape(Lyr, BHl, C2, D),
+                vcs.reshape(Lyr, BHl, C2, D),
+                scs.reshape(Lyr, BHl, N_PLANES, C),
+                lens2.reshape(BHl), li, kn.reshape(BHl, D),
+                vn.reshape(BHl, D), interpret=interpret)
+        return (out.reshape(Bl, Hl, G, D),
+                kc_o.reshape(Lyr, Bl, Hl, C2, D),
+                vc_o.reshape(Lyr, Bl, Hl, C2, D),
+                sc_o.reshape(Lyr, Bl, Hl, N_PLANES, C),
+                lens_o.reshape(Bl, Hl))
+
+    fn = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P("dp", "tp"), P(None, "dp", "tp"), P(None, "dp", "tp"),
+                  P(None, "dp", "tp"), P("dp", "tp"), P(),
+                  P("dp", "tp"), P("dp", "tp")),
+        out_specs=(P("dp", "tp"), P(None, "dp", "tp"), P(None, "dp", "tp"),
+                   P(None, "dp", "tp"), P("dp", "tp")),
+        check_vma=False)
+    return fn(q, k_codes, v_codes, scales, lengths,
+              jnp.asarray(layer, jnp.int32).reshape(()), k_new, v_new)
+
+
 def quant_decode_attention_append(
     q: jnp.ndarray,         # [H, G, D]
     k_codes: jnp.ndarray,   # [H, C, D] int8

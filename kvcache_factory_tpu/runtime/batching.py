@@ -150,10 +150,11 @@ class ContinuousBatchingEngine:
         quant = self.cfg.quant
         evr = self.cfg.compression.eviction_recent
         eos = jnp.asarray(list(self.eos) or [-1], jnp.int32)
-        # Decode keeps the Pallas kernel under (dp, tp) via shard_map (see
-        # runtime/engine.py note); decode_step re-resolves "auto" per shard
-        # and falls back to XLA itself for unsupported tilings/caches.
-        mesh = self.mesh if quant is None else None
+        # Decode keeps the Pallas kernels (bf16 AND the quant fused-dequant
+        # ones) under (dp, tp) via shard_map (see runtime/engine.py note);
+        # decode_step re-resolves "auto" per shard and falls back to XLA
+        # itself for unsupported tilings/caches.
+        mesh = self.mesh
         backend = "auto" if mesh is not None else backend
 
         @functools.partial(jax.jit, donate_argnums=(2,))

@@ -127,3 +127,163 @@ def test_sharded_decode_falls_back_on_indivisible_tiling(setup):
     got, _ = _decode_n(cfg, params, pre.cache, 2, attn_backend="pallas",
                        mesh=mesh, pallas_interpret=True)
     np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# Quantized decode under (dp, tp) — VERDICT round-3 #2
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("dp,tp", [(2, 2), (1, 4)])
+def test_sharded_quant_kernel_call_bit_exact(dp, tp):
+    """int8 shard_map wrapper vs the single-chip quant kernel: partitioning
+    is pure data movement, results must be BIT-exact."""
+    from kvcache_factory_tpu.ops.kernels.decode_attn_quant import (
+        quant_decode_attention_append_stacked,
+        quant_decode_attention_append_stacked_sharded)
+    from kvcache_factory_tpu.parallel.mesh import make_mesh
+    from kvcache_factory_tpu.config import ShardingConfig
+
+    L, B, H, G, C, D = 2, 2, 4, 2, 256, 128
+    rng = np.random.default_rng(41)
+    q = jnp.asarray(rng.normal(size=(B, H, G, D)), jnp.float32)
+    kc = jnp.asarray(rng.integers(-128, 128, size=(L, B, H, C, D)), jnp.int8)
+    vc = jnp.asarray(rng.integers(-128, 128, size=(L, B, H, C, D)), jnp.int8)
+    sc = jnp.asarray(rng.uniform(0.01, 0.1, size=(L, B, H, 4, C)),
+                     jnp.bfloat16)
+    lens = jnp.asarray(rng.integers(5, C - 8, size=(B, H)), jnp.int32)
+    kn = jnp.asarray(rng.normal(size=(B, H, D)), jnp.float32)
+    vn = jnp.asarray(rng.normal(size=(B, H, D)), jnp.float32)
+    li = jnp.int32(1)
+
+    mesh = make_mesh(ShardingConfig(dp=dp, tp=tp))
+    out_s, kc_s, vc_s, sc_s, len_s = \
+        quant_decode_attention_append_stacked_sharded(
+            mesh, q, kc, vc, sc, lens, li, kn, vn, interpret=True)
+
+    BH = B * H
+    out_u, kc_u, vc_u, sc_u, len_u = quant_decode_attention_append_stacked(
+        q.reshape(BH, G, D), kc.reshape(L, BH, C, D),
+        vc.reshape(L, BH, C, D), sc.reshape(L, BH, 4, C),
+        lens.reshape(BH), li, kn.reshape(BH, D), vn.reshape(BH, D),
+        interpret=True)
+
+    np.testing.assert_array_equal(np.asarray(out_s).reshape(BH, G, D),
+                                  np.asarray(out_u))
+    np.testing.assert_array_equal(np.asarray(kc_s).reshape(L, BH, C, D),
+                                  np.asarray(kc_u))
+    np.testing.assert_array_equal(
+        np.asarray(sc_s, np.float32).reshape(L, BH, 4, C),
+        np.asarray(sc_u, np.float32))
+    np.testing.assert_array_equal(np.asarray(len_s).reshape(BH),
+                                  np.asarray(len_u))
+
+
+@pytest.mark.parametrize("dp,tp", [(2, 2), (1, 4)])
+def test_sharded_quant4_kernel_call_bit_exact(dp, tp):
+    """int4 variant: nibble planes tile over (dp, tp) bit-exactly."""
+    from kvcache_factory_tpu.ops.kernels.decode_attn_quant import (
+        quant4_decode_attention_append_stacked,
+        quant4_decode_attention_append_stacked_sharded)
+    from kvcache_factory_tpu.parallel.mesh import make_mesh
+    from kvcache_factory_tpu.config import ShardingConfig
+
+    L, B, H, G, C, D = 2, 2, 4, 2, 256, 128
+    C2 = C // 2
+    rng = np.random.default_rng(43)
+    q = jnp.asarray(rng.normal(size=(B, H, G, D)), jnp.float32)
+    kc = jnp.asarray(rng.integers(-128, 128, size=(L, B, H, C2, D)), jnp.int8)
+    vc = jnp.asarray(rng.integers(-128, 128, size=(L, B, H, C2, D)), jnp.int8)
+    sc = jnp.asarray(rng.uniform(0.05, 0.5, size=(L, B, H, 4, C)),
+                     jnp.bfloat16)
+    lens = jnp.asarray(rng.integers(5, C - 8, size=(B, H)), jnp.int32)
+    kn = jnp.asarray(rng.normal(size=(B, H, D)), jnp.float32)
+    vn = jnp.asarray(rng.normal(size=(B, H, D)), jnp.float32)
+    li = jnp.int32(0)
+
+    mesh = make_mesh(ShardingConfig(dp=dp, tp=tp))
+    out_s, kc_s, vc_s, sc_s, len_s = \
+        quant4_decode_attention_append_stacked_sharded(
+            mesh, q, kc, vc, sc, lens, li, kn, vn, interpret=True)
+
+    BH = B * H
+    out_u, kc_u, vc_u, sc_u, len_u = quant4_decode_attention_append_stacked(
+        q.reshape(BH, G, D), kc.reshape(L, BH, C2, D),
+        vc.reshape(L, BH, C2, D), sc.reshape(L, BH, 4, C),
+        lens.reshape(BH), li, kn.reshape(BH, D), vn.reshape(BH, D),
+        interpret=True)
+
+    np.testing.assert_array_equal(np.asarray(out_s).reshape(BH, G, D),
+                                  np.asarray(out_u))
+    np.testing.assert_array_equal(np.asarray(kc_s).reshape(L, BH, C2, D),
+                                  np.asarray(kc_u))
+    np.testing.assert_array_equal(np.asarray(len_s).reshape(BH),
+                                  np.asarray(len_u))
+
+
+@pytest.mark.parametrize("nbits", [8, 4])
+def test_quant_decode_step_sharded_matches_unsharded(nbits):
+    """decode_step with a QuantKVCacheTPU(4) cache + a (dp, tp) mesh: the
+    sharded kernel path must match the unsharded kernel path (same kernel,
+    shard_map plumbing) AND stay close to an fp32 XLA decode on the
+    dequantized cache (independent oracle, quantization-error tolerance)."""
+    from kvcache_factory_tpu.cache.quant_cache import (
+        from_packed_prefill_tpu, from_packed_prefill_tpu4)
+    from kvcache_factory_tpu.parallel.mesh import make_mesh
+    from kvcache_factory_tpu.config import ShardingConfig
+    from kvcache_factory_tpu.cache.kv_cache import KVCache
+
+    cfg = ModelConfig(model_type="llama", vocab_size=256, hidden_size=512,
+                      intermediate_size=768, num_hidden_layers=2,
+                      num_attention_heads=4, num_key_value_heads=2,
+                      head_dim=128, max_position_embeddings=512,
+                      dtype="float32")
+    params = init_params(cfg, jax.random.PRNGKey(7), dtype=jnp.float32)
+    L, B, H, C, D = 2, 2, 2, 256, 128
+    rng = np.random.default_rng(17)
+    k = jnp.asarray(rng.normal(size=(L, B, H, C, D)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(L, B, H, C, D)), jnp.float32)
+    lens0 = jnp.asarray(rng.integers(30, 60, size=(L, B, H)), jnp.int32)
+    pos0 = jnp.asarray([64, 55], jnp.int32)
+    make = from_packed_prefill_tpu if nbits == 8 else from_packed_prefill_tpu4
+    qcache = make(k, v, lens0, pos0)
+    from kvcache_factory_tpu.config import QuantConfig
+    qcfg = QuantConfig(nbits=nbits)
+
+    tok = jnp.asarray([7, 11], jnp.int32)
+    mesh = make_mesh(ShardingConfig(dp=2, tp=2))
+
+    # Teacher-forced token stream: greedy feedback would amplify fp noise
+    # from the differently-compiled surrounding XLA (shard_map vs plain)
+    # into token flips at near-ties; the kernel itself is bit-exact vs its
+    # unsharded twin (asserted above at kernel level).
+    forced = [tok, jnp.asarray([3, 5], jnp.int32)]
+
+    def run(mesh_arg):
+        cache, outs = qcache, []
+        for t in forced:
+            logits, cache = llama.decode_step(
+                params, cfg, t, cache, quant=qcfg, mesh=mesh_arg,
+                pallas_interpret=True)
+            outs.append(np.asarray(logits))
+        return np.stack(outs), cache
+
+    got, got_cache = run(mesh)
+    want, want_cache = run(None)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(got_cache.lengths),
+                                  np.asarray(want_cache.lengths))
+
+    # independent fp oracle: XLA decode over the dequantized dense cache
+    fp_cache = KVCache(k=k, v=v, lengths=lens0, positions=pos0)
+    cache, fp_outs = fp_cache, []
+    for t in forced:
+        logits, cache = llama.decode_step(params, cfg, t, cache,
+                                          attn_backend="xla")
+        fp_outs.append(np.asarray(logits))
+    # Coarse sanity bound only ("attends to the right data, not garbage"):
+    # per-token int8/int4 scales on N(0,1) random caches drift logits
+    # ~0.07 / ~1.0 over two layers here — quantization error, not kernel
+    # error.  Tight correctness lives above (bit-exact vs the unsharded
+    # kernel) and in test_kernels.py (kernel vs dequant oracle).
+    tol = 0.2 if nbits == 8 else 1.5
+    assert np.abs(np.stack(fp_outs) - got).max() < tol

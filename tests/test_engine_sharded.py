@@ -149,9 +149,35 @@ def test_sp_rejects_indivisible_buckets(tiny):
         InferenceEngine(params, cfg_bad)
 
 
-def test_sp_does_not_compose_with_dp_tp():
+def test_sp_composes_with_dp_tp_but_not_ep_pp():
+    ShardingConfig(sp=2, tp=2)            # round 4: one (dp, sp, tp) mesh
+    ShardingConfig(dp=2, sp=2, tp=2)
     with pytest.raises(ValueError):
-        ShardingConfig(sp=2, tp=2)
+        ShardingConfig(sp=2, ep=2)
+    with pytest.raises(ValueError):
+        ShardingConfig(sp=2, pp=2)
+
+
+@pytest.mark.parametrize("dp,sp,tp", [(1, 2, 2), (2, 2, 2), (1, 4, 2)])
+def test_sp_tp_composed_engine_matches_single(tiny, dp, sp, tp):
+    """VERDICT round-3 #5: sp x tp (x dp) in ONE mesh — generation must be
+    bit-identical to the single-device engine (GSPMD + the head-local ring
+    change layout, not math)."""
+    params, ecfg = tiny
+    rng = np.random.default_rng(77)
+    prompts = [rng.integers(0, 128, size=s).tolist() for s in (90, 64, 101)]
+
+    base = InferenceEngine(params, ecfg)
+    expected = [base.generate_ids(p, 6) for p in prompts]
+
+    eng = InferenceEngine(
+        params, ecfg.replace(sharding=ShardingConfig(dp=dp, sp=sp, tp=tp)))
+    assert eng.sp_mesh is not None
+    assert set(eng.sp_mesh.axis_names) == {"dp", "sp", "tp"}
+    got = [eng.generate_ids(p, 6) for p in prompts]
+    assert got == expected
+    # batched path exercises the dp padding too
+    assert eng.generate_batch(prompts, 6) == expected
 
 
 def test_cli_accepts_parallel_flags():
@@ -302,3 +328,25 @@ def test_inference_engine_pp_eos_trim(tiny):
     eos = ref[0][1]
     assert base.generate_batch(prompts, 6, eos_token_ids=(eos,)) == \
         eng.generate_batch(prompts, 6, eos_token_ids=(eos,))
+
+
+def test_quant_engine_sharded_matches_single(tiny):
+    """VERDICT round-3 #2 (engine leg): a quantized config no longer drops
+    the decode mesh.  On the CPU test platform the cache is the XLA quant
+    pytree (decode_step falls back to GSPMD itself), so this asserts the
+    gate-drop keeps bit-identical tokens; the TPU-kernel sharded path is
+    covered by tests/test_decode_tp.py's QuantKVCacheTPU parity tests."""
+    from kvcache_factory_tpu.config import QuantConfig
+
+    params, ecfg = tiny
+    qcfg = ecfg.replace(quant=QuantConfig(nbits=8, q_group_size=16))
+    prompts = _prompts(3, rng_seed=21)
+
+    base = InferenceEngine(params, qcfg)
+    expected = [base.generate_ids(p, 6) for p in prompts]
+
+    eng = InferenceEngine(params,
+                          qcfg.replace(sharding=ShardingConfig(dp=2, tp=4)))
+    assert eng.decode_mesh is not None  # the round-3 gate dropped the mesh
+    got = [eng.generate_ids(p, 6) for p in prompts]
+    assert got == expected
