@@ -367,10 +367,14 @@ class ShardingConfig:
     over ICI (parallel/ring_attention.py), so one prompt's prefill compute
     and activation memory split across chips — context beyond a single
     chip's HBM (the reference truncates the prompt middle instead,
-    run_longbench.py:199-205).  Weights are replicated over sp; the packed
-    compressed cache is tiny and decode proceeds as usual.  sp is a
-    dedicated mesh (prefill-bound deployments); it does not compose with
-    dp/tp/ep in one config."""
+    run_longbench.py:199-205).
+
+    sp COMPOSES with dp and tp (round 4): one ``(dp, sp, tp)`` mesh — the
+    ring fold is head-local, so each (dp, tp) tile runs an independent ring
+    over its head/batch slice while weights shard over tp (the repo's own
+    north star, 70B + 32k context, needs both axes at once).  With dp and
+    tp at 1 the mesh degenerates to the dedicated sp ring.  sp does not
+    compose with ep or pp."""
 
     dp: int = 1
     tp: int = 1
@@ -393,9 +397,9 @@ class ShardingConfig:
     def __post_init__(self):
         if self.dp % self.dcn_dp != 0:
             raise ValueError("dcn_dp must divide dp")
-        if self.sp > 1 and self.dp * self.tp * self.ep > 1:
-            raise ValueError("sp is a dedicated prefill mesh; it does not "
-                             "compose with dp/tp/ep in one config")
+        if self.sp > 1 and self.ep > 1:
+            raise ValueError("sp composes with dp/tp (one (dp, sp, tp) "
+                             "mesh) but not with ep")
         if self.pp > 1 and (self.dp * self.tp * self.ep > 1 or self.sp > 1):
             raise ValueError("pp is a dedicated mesh; it does not compose "
                              "with dp/tp/ep/sp in one config")

@@ -78,8 +78,8 @@ def add_engine_args(ap: argparse.ArgumentParser) -> None:
     ap.add_argument("--sp", type=int, default=1,
                     help="sequence-parallel ways: one prompt's token axis "
                          "shards over sp devices, prefill runs ring "
-                         "attention over ICI (dedicated mesh; does not "
-                         "compose with dp/tp/ep)")
+                         "attention over ICI; composes with --dp/--tp in "
+                         "one (dp, sp, tp) mesh (not with --ep/--pp)")
     ap.add_argument("--pp", type=int, default=1,
                     help="pipeline-parallel stages: layers shard over pp "
                          "devices, generation runs the GPipe schedule "
