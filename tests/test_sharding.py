@@ -178,3 +178,61 @@ def test_70b_tp8_lowers_and_compiles_abstract():
                                   cache_capacity=2176).compile()
     per_shard_gb = compiled.memory_analysis().argument_size_in_bytes / 2**30
     assert 14 < per_shard_gb < 20  # ~140 GB bf16 weights / 8 shards
+
+
+def test_moe_ep_decode_no_weight_collective(moe_setup):
+    """VERDICT round-3 #6: under an ep mesh the decode MoE path must not put
+    WEIGHT matrices on the wire.  The old decode weight-gather
+    (gw[topi[:, 0]] with gw sharded over experts) lowered to clamp-to-shard
+    + mask + an all-reduce of the gathered [B, k, h, 2f] weights every layer
+    every step; decode_step now forces the dense-local-experts form (each
+    shard streams only its local experts; the all-reduce carries the [B, h]
+    combined OUTPUT).  Asserted on the compiled HLO: every collective's
+    result is small (activation-sized), and token parity with the gather
+    path holds."""
+    from kvcache_factory_tpu.cache.kv_cache import KVCache
+    from kvcache_factory_tpu.models import llama as _llama
+
+    cfg, params, comp = moe_setup
+    mesh = make_mesh(ShardingConfig(dp=1, tp=1, ep=4))
+    sharded_params = shard_params(params, mesh, cfg)
+    L, B = cfg.num_hidden_layers, 2
+    H, C, D = cfg.num_attention_heads, 64, cfg.head_dim
+    cache = KVCache(k=jnp.zeros((L, B, H, C, D), jnp.float32),
+                    v=jnp.zeros((L, B, H, C, D), jnp.float32),
+                    lengths=jnp.full((L, B, H), 32, jnp.int32),
+                    positions=jnp.full((B,), 40, jnp.int32))
+    tok = jnp.asarray([3, 5], jnp.int32)
+
+    with mesh:
+        compiled = jax.jit(lambda p, t, c: _llama.decode_step(
+            p, cfg, t, c, attn_backend="xla", mesh=mesh)).lower(
+                sharded_params, tok, cache).compile()
+    txt = compiled.as_text()
+
+    import re
+    # weight-scale = one expert's gate_up rows (h * 2F elements); any
+    # collective at or above this is weights on the wire.
+    weight_elems = cfg.hidden_size * cfg.intermediate_size * 2
+    bad = []
+    for line in txt.splitlines():
+        m = re.match(r"\s*%?\S+\s*=\s*\(?(\w+)\[([\d,]*)\]", line)
+        if not m or not any(op in line for op in
+                            ("all-reduce", "all-gather", "all-to-all",
+                             "collective-permute")):
+            continue
+        dims = [int(d) for d in m.group(2).split(",") if d]
+        n = int(np.prod(dims)) if dims else 1
+        if n >= weight_elems:
+            bad.append(line.strip()[:160])
+    assert not bad, "weight-sized collective(s) in ep decode HLO:\n" + \
+        "\n".join(bad)
+
+    # token parity: dense-local-experts decode == unsharded gather decode
+    lg_ref, _ = _llama.decode_step(params, cfg, tok, cache,
+                                   attn_backend="xla")
+    with mesh:
+        lg_ep, _ = _llama.decode_step(sharded_params, cfg, tok, cache,
+                                      attn_backend="xla", mesh=mesh)
+    np.testing.assert_allclose(np.asarray(lg_ep), np.asarray(lg_ref),
+                               rtol=2e-5, atol=2e-5)
