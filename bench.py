@@ -48,6 +48,10 @@ def main():
     ap.add_argument("--group_reduce", type=str, default="none",
                     help="'mean' = GQA-grouped cache (4x smaller for this "
                          "geometry); 'none' = reference-parity per-query-head")
+    ap.add_argument("--tp1_shard", action="store_true",
+                    help="run decode through the shard_map'd kernel wrappers "
+                         "over a 1-device (dp, tp) mesh — measures the "
+                         "shard_map overhead vs the plain kernels")
     args = ap.parse_args()
 
     cfg = flagship()
@@ -86,11 +90,17 @@ def main():
 
     first_tok = jnp.argmax(pre.logits_last, axis=-1).astype(jnp.int32)
 
+    mesh = None
+    if args.tp1_shard:
+        from jax.sharding import Mesh
+        mesh = Mesh(np.asarray(jax.devices()[:1]).reshape(1, 1),
+                    ("dp", "tp"))
+
     def decode_n(params, tok, cache, n):
         def body(carry, _):
             tok, cache = carry
             logits, cache = llama.decode_step(params, cfg, tok, cache,
-                                              quant=quant)
+                                              quant=quant, mesh=mesh)
             tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
             return (tok, cache), tok
         (tok, cache), toks = jax.lax.scan(body, (tok, cache), None, length=n)

@@ -36,6 +36,11 @@ manual q/o DMA and conditional per-q-block waits deadlocked on real
 hardware while passing interpret-mode parity — conditional DMA waits and
 DMA-written HBM *output* refs are the constructs that broke; keep waits
 unconditional and outputs Mosaic-pipelined.)
+(tried, round 4, third and FINAL 8k attack: fewer/bigger grid steps —
+QB=2048/KB=1024 (two q-blocks sharing one K/V stream) 85.3 TF/s and
+QB=1024/KB=2048 87.0 vs 90.4 for the shipped 1024^2 same-session.  Item
+closed at the ~91 TF/s characterized floor; batching recovers it where it
+matters — B=8 at 8k runs 96 TF/s through the batched grid.)
 
 Shapes: per (batch, query-head) — the wrapper maps heads/batch onto the grid;
 GQA indexes the shared KV head.  Requires lane-aligned head_dim (D % 128 == 0).

@@ -19,7 +19,8 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
-from kvcache_factory_tpu.ops.kernels.flash_prefill import flash_prefill_attention
+from kvcache_factory_tpu.ops.kernels.flash_prefill import (
+    flash_prefill_attention, flash_prefill_attention_batched)
 
 
 def main():
@@ -35,15 +36,26 @@ def main():
                     help="in-jit iterations; at >=100 ms/kernel this keeps "
                          "the ~25-40 ms tunnel dispatch under 1% of the run")
     ap.add_argument("--window", type=int, default=32)
+    ap.add_argument("--batch", type=int, default=1,
+                    help=">1: one batched pallas_call over B examples")
+    ap.add_argument("--loop", action="store_true",
+                    help="with --batch: per-example unrolled calls instead "
+                         "of the batched grid (the round-3 layout, for A/B)")
+    ap.add_argument("--sliding_window", type=int, default=0,
+                    help=">0: windowed prefill (window=0 forced; TF/s "
+                         "reported on the ACTUAL attended area)")
     args = ap.parse_args()
 
+    B = args.batch
+    SW = args.sliding_window or None
+    W = 0 if SW else args.window
     for S in args.seqlens:
         key = jax.random.PRNGKey(0)
         kq, kk, kv = jax.random.split(key, 3)
-        q = jax.random.normal(kq, (args.hq, S, args.d), jnp.bfloat16)
-        k = jax.random.normal(kk, (args.hkv, S, args.d), jnp.bfloat16)
-        v = jax.random.normal(kv, (args.hkv, S, args.d), jnp.bfloat16)
-        tl = jnp.asarray(S, jnp.int32)
+        q = jax.random.normal(kq, (B, args.hq, S, args.d), jnp.bfloat16)
+        k = jax.random.normal(kk, (B, args.hkv, S, args.d), jnp.bfloat16)
+        v = jax.random.normal(kv, (B, args.hkv, S, args.d), jnp.bfloat16)
+        tl = jnp.full((B,), S, jnp.int32)
 
         @jax.jit
         def run(q, k, v):
@@ -51,10 +63,19 @@ def main():
                 # chain q through acc so XLA can't hoist the loop-invariant
                 # kernel call out of the loop (acc*0 is not foldable: NaN)
                 qd = q + (acc * 0).astype(q.dtype)
-                out, sc = flash_prefill_attention(
-                    qd, k, v, tl, args.window, q_block=args.qb or None,
-                    kv_block=args.kb or None)
-                return acc + out[0, -1, 0].astype(jnp.float32) + sc[0, 0]
+                if args.loop:
+                    tot = jnp.float32(0.0)
+                    for b in range(B):
+                        out, sc = flash_prefill_attention(
+                            qd[b], k[b], v[b], tl[b], W,
+                            q_block=args.qb or None,
+                            kv_block=args.kb or None, sliding_window=SW)
+                        tot = tot + out[0, -1, 0].astype(jnp.float32) + sc[0, 0]
+                    return acc + tot
+                out, sc = flash_prefill_attention_batched(
+                    qd, k, v, tl, W, q_block=args.qb or None,
+                    kv_block=args.kb or None, sliding_window=SW)
+                return acc + out[0, 0, -1, 0].astype(jnp.float32) + sc[0, 0, 0]
             return lax.fori_loop(0, args.iters, body, jnp.float32(0.0))
 
         # warm up with the same shapes (compile)
@@ -62,9 +83,15 @@ def main():
         t0 = time.perf_counter()
         float(np.asarray(run(q, k, v)))  # host readback forces completion
         dt = (time.perf_counter() - t0) / args.iters
-        flops = 2.0 * args.hq * S * S * args.d
-        print(f"S={S:6d} QB={args.qb or 'auto'} KB={args.kb or 'auto'}: {dt*1e3:8.1f} ms  "
-              f"{flops/dt/1e12:6.1f} TF/s")
+        if SW:  # actual attended area: ~S*SW - SW(SW-1)/2 pairs per head
+            area = float(S) * SW - SW * (SW - 1) / 2.0
+        else:
+            area = S * S / 2.0
+        flops = 2.0 * 2.0 * B * args.hq * area * args.d
+        mode = "loop" if args.loop else "batched"
+        print(f"S={S:6d} B={B} {mode} SW={SW or '-'} "
+              f"QB={args.qb or 'auto'} KB={args.kb or 'auto'}: "
+              f"{dt*1e3:8.1f} ms  {flops/dt/1e12:6.1f} TF/s (actual-area)")
 
 
 if __name__ == "__main__":
