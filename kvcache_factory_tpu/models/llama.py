@@ -252,6 +252,7 @@ def prefill(
     attn_backend: str = "auto",  # "auto" | "pallas" | "xla"
     sp_mesh=None,                # jax.sharding.Mesh with an `sp` axis
     sp_axis: str = "sp",
+    mesh=None,                   # (dp, tp) Mesh: shard_map the flash kernel
 ) -> PrefillResult:
     """Full prefill: attention over the uncompressed prompt (reference runs
     flash attention over full K/V, llama_model.py:2243-2245), compression hook
@@ -293,9 +294,26 @@ def prefill(
     # Round-4: the kernel handles sliding-window configs (Mistral/Qwen2) and
     # plain fullkv too — scores are simply not emitted when a policy cannot
     # reuse them (window=0 skips all score work in-kernel).
-    use_flash = (attn_backend != "xla" and sp_mesh is None
-                 and jax.default_backend() in ("tpu", "axon")
-                 and D % 128 == 0)
+    flash_ok = (attn_backend != "xla" and sp_mesh is None
+                and jax.default_backend() in ("tpu", "axon")
+                and D % 128 == 0)
+    use_flash = flash_ok and mesh is None
+    # Multi-device PREFILL keeps the kernel too (round 4, closing the
+    # "kernels at scale" gap): the flash kernel is head-local, so under a
+    # (dp, tp) mesh each device runs it on its [B/dp, H/tp] tile via
+    # shard_map (flash_prefill_attention_batched_sharded).  Falls back to
+    # the GSPMD blocked-XLA path when the tiling doesn't divide, the mesh
+    # has an ep axis, or per-head MInference budgets are in play (those are
+    # full-[Hq] vectors; sharding them is future work).
+    flash_mesh = None
+    if (flash_ok and mesh is not None
+            and "ep" not in getattr(mesh, "axis_names", ())
+            and sparse_budgets is None):
+        dp_w = mesh.shape.get("dp", 1)
+        tp_w = mesh.shape.get("tp", 1)
+        if B % dp_w == 0 and Hq % tp_w == 0 and Hkv % tp_w == 0:
+            flash_mesh = mesh
+            use_flash = True
     sp_ring = None
     if sp_mesh is not None:
         from ..parallel.ring_attention import make_ring_attention
@@ -336,14 +354,22 @@ def prefill(
             # ONE kernel call for the whole batch (round 4): grid
             # (B, Hq, n_qb), per-example true_len on the [B] scalar-prefetch
             # vector — replaces the per-example unrolled-call loop.
-            attn, win_sc = flash_prefill_attention_batched(
-                q, k, v, true_len.astype(jnp.int32), win,
-                sparse_pattern=comp.sparse_prefill,
-                sliding_window=cfg.sliding_window,
-                # per-layer per-head MInference budgets ([Hq, 2], sliced
-                # off the [L, Hq, 2] scan input; minference.py:9-12)
-                sparse_head_budgets=sb if sparse_budgets is not None
-                else None)
+            if flash_mesh is not None:
+                from ..ops.kernels.flash_prefill import \
+                    flash_prefill_attention_batched_sharded
+                attn, win_sc = flash_prefill_attention_batched_sharded(
+                    flash_mesh, q, k, v, true_len.astype(jnp.int32), win,
+                    sparse_pattern=comp.sparse_prefill,
+                    sliding_window=cfg.sliding_window)
+            else:
+                attn, win_sc = flash_prefill_attention_batched(
+                    q, k, v, true_len.astype(jnp.int32), win,
+                    sparse_pattern=comp.sparse_prefill,
+                    sliding_window=cfg.sliding_window,
+                    # per-layer per-head MInference budgets ([Hq, 2], sliced
+                    # off the [L, Hq, 2] scan input; minference.py:9-12)
+                    sparse_head_budgets=sb if sparse_budgets is not None
+                    else None)
             if emit:
                 cols = lax.broadcasted_iota(jnp.int32, win_sc.shape, 2)
                 window_scores = jnp.where(

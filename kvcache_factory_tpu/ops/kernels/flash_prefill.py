@@ -567,5 +567,47 @@ def flash_prefill_attention(
     return out[0], scores[0]
 
 
+def flash_prefill_attention_batched_sharded(
+    mesh,                   # jax.sharding.Mesh with "dp" and "tp" axes
+    q: jnp.ndarray,         # [B, Hq, S, D]
+    k: jnp.ndarray,         # [B, Hkv, S, D]
+    v: jnp.ndarray,         # [B, Hkv, S, D]
+    true_len: jnp.ndarray,  # [B] int32
+    window: int,
+    **kw,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Multi-device flash prefill (round 4): batch shards over ``dp``, heads
+    over ``tp``, every device runs the batched kernel on its
+    [B/dp, Hq/tp] tile.  The kernel is head-local (query head h reads kv
+    head h // G), so tp tiles are independent as long as tp divides Hkv —
+    each shard's local G == global G and the causal/window math is
+    untouched.  Window scores come back per-shard ([B/dp, Hq/tp, S]) and
+    recombine under GSPMD for the (head-wise) compression policies.
+
+    This closes the round-3 'kernels at scale' gap for PREFILL: multi-device
+    meshes previously always fell back to the blocked XLA path because GSPMD
+    cannot auto-partition pallas_call — shard_map hands each device its tile
+    exactly as the decode wrappers do."""
+    from jax.sharding import PartitionSpec as P
+
+    B, Hq, S, D = q.shape
+    Hkv = k.shape[1]
+    dp = mesh.shape.get("dp", 1)
+    tp = mesh.shape.get("tp", 1)
+    assert B % dp == 0 and Hq % tp == 0 and Hkv % tp == 0, (
+        f"B {B} %% dp {dp}, Hq {Hq} %% tp {tp}, Hkv {Hkv} %% tp {tp} "
+        "must all be 0")
+
+    def local(qs, ks, vs, tl):
+        return flash_prefill_attention_batched(qs, ks, vs, tl, window, **kw)
+
+    fn = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P("dp", "tp"), P("dp", "tp"), P("dp", "tp"), P("dp")),
+        out_specs=(P("dp", "tp"), P("dp", "tp")),
+        check_vma=False)
+    return fn(q, k, v, true_len.astype(jnp.int32))
+
+
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m

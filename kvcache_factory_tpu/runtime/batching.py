@@ -139,7 +139,13 @@ class ContinuousBatchingEngine:
             jnp.asarray(toks), jnp.asarray([len(prompt)], jnp.int32),
             cache_capacity=self.cache_capacity,
             head_capacity=self.head_capacity, rng=self.rng,
-            quant=self.cfg.quant, attn_backend=self.attn_backend)
+            quant=self.cfg.quant,
+            # prefill owns a shard_map'd flash path (see generate.py note);
+            # single-row admission can still tp-shard heads (dp > 1 cannot
+            # divide B=1 and falls back to GSPMD XLA inside prefill)
+            attn_backend=("auto" if self.mesh is not None
+                          else self.attn_backend),
+            mesh=self.mesh)
         first = jnp.argmax(res.logits_last, axis=-1).astype(jnp.int32)
         return res.cache, first
 

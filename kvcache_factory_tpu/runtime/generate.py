@@ -84,7 +84,13 @@ def generate(
                         cache_capacity, rng=rng, head_capacity=head_capacity,
                         sparse_budgets=sparse_budgets,
                         return_all_logits=return_all_logits, quant=quant_cfg,
-                        attn_backend=attn_backend, sp_mesh=sp_mesh)
+                        # under a mesh the engine passes attn_backend="xla"
+                        # (GSPMD cannot partition pallas_call) — but prefill
+                        # now owns a shard_map'd flash path, so hand it the
+                        # mesh and let it re-resolve, exactly like decode
+                        attn_backend=("auto" if decode_mesh is not None
+                                      else attn_backend),
+                        sp_mesh=sp_mesh, mesh=decode_mesh)
     sample_rng = rng if rng is not None else jax.random.PRNGKey(0)
     sample_rng, k0 = jax.random.split(jax.random.fold_in(sample_rng, 7))
     first_tok = sample_token(pre.logits_last, gen_cfg, k0)  # [B]

@@ -448,3 +448,82 @@ def test_flash_prefill_batched_vertical_slash():
         tl = int(tls[b])
         np.testing.assert_array_equal(np.asarray(out_b)[b, :, :tl],
                                       np.asarray(out_1)[:, :tl])
+
+
+def test_flash_prefill_sharded_matches_unsharded():
+    """The (dp, tp) shard_map prefill wrapper is pure data movement: outputs
+    and window scores must be BIT-identical to the unsharded batched call."""
+    from kvcache_factory_tpu.ops.kernels.flash_prefill import (
+        flash_prefill_attention_batched,
+        flash_prefill_attention_batched_sharded)
+    from kvcache_factory_tpu.parallel.mesh import make_mesh
+    from kvcache_factory_tpu.config import ShardingConfig
+
+    B, Hq, G, S, W = 2, 4, 2, 256, 16
+    Hkv = Hq // G
+    rng = np.random.default_rng(37)
+    q = jnp.asarray(rng.normal(size=(B, Hq, S, D)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(B, Hkv, S, D)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(B, Hkv, S, D)), jnp.float32)
+    tls = jnp.asarray([S, 180], jnp.int32)
+
+    mesh = make_mesh(ShardingConfig(dp=2, tp=2))
+    out_s, sc_s = flash_prefill_attention_batched_sharded(
+        mesh, q, k, v, tls, W, q_block=64, kv_block=64, interpret=True)
+    out_u, sc_u = flash_prefill_attention_batched(
+        q, k, v, tls, W, q_block=64, kv_block=64, interpret=True)
+    np.testing.assert_array_equal(np.asarray(out_s), np.asarray(out_u))
+    np.testing.assert_array_equal(np.asarray(sc_s), np.asarray(sc_u))
+
+
+def test_prefill_under_mesh_uses_sharded_kernel_and_matches_xla():
+    """llama.prefill with a (dp, tp) mesh routes through the shard_map'd
+    flash kernel (round 4) and matches the GSPMD blocked-XLA path."""
+    from unittest import mock
+    import functools
+    from kvcache_factory_tpu.config import (CompressionConfig, ModelConfig,
+                                            ShardingConfig)
+    from kvcache_factory_tpu.models import llama
+    from kvcache_factory_tpu.models.weights import init_params
+    from kvcache_factory_tpu.parallel.mesh import make_mesh, shard_params
+    import kvcache_factory_tpu.ops.kernels.flash_prefill as fp
+
+    cfg = ModelConfig(model_type="llama", vocab_size=256, hidden_size=512,
+                      intermediate_size=768, num_hidden_layers=2,
+                      num_attention_heads=4, num_key_value_heads=2,
+                      head_dim=128, max_position_embeddings=512,
+                      dtype="float32")
+    params = init_params(cfg, jax.random.PRNGKey(9), dtype=jnp.float32)
+    comp = CompressionConfig(method="snapkv", max_capacity_prompt=32,
+                             window_size=8, kernel_size=7, pooling="maxpool")
+    B, S = 2, 64
+    toks = jnp.asarray(np.random.default_rng(11).integers(0, 256, (B, S)),
+                       jnp.int32)
+    tl = jnp.asarray([S, S - 7], jnp.int32)
+
+    mesh = make_mesh(ShardingConfig(dp=2, tp=2))
+    sp = shard_params(params, mesh, cfg)
+    ref = llama.prefill(params, cfg, comp, toks, tl, cache_capacity=48,
+                        attn_backend="xla")
+
+    calls = []
+    orig = fp.flash_prefill_attention_batched
+
+    def interp(*a, **kw):
+        calls.append(1)
+        kw["interpret"] = True
+        return orig(*a, **kw)
+
+    with mock.patch.object(jax, "default_backend", return_value="tpu"), \
+            mock.patch.object(fp, "flash_prefill_attention_batched", interp):
+        with mesh:
+            got = llama.prefill(sp, cfg, comp, toks, tl, cache_capacity=48,
+                                attn_backend="auto", mesh=mesh)
+    assert calls, "sharded flash path was not taken"
+    np.testing.assert_allclose(np.asarray(got.logits_last),
+                               np.asarray(ref.logits_last),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_array_equal(np.asarray(got.cache.lengths),
+                                  np.asarray(ref.cache.lengths))
+    np.testing.assert_allclose(np.asarray(got.cache.k),
+                               np.asarray(ref.cache.k), rtol=2e-4, atol=2e-4)

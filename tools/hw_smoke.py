@@ -117,6 +117,30 @@ _tp1_sharded_check("bf16", None, None)
 _tp1_sharded_check("int8", None, QuantConfig(nbits=8))
 _tp1_sharded_check("int4", None, QuantConfig(nbits=4))
 
+# 1b. shard_map'd flash PREFILL at tp=1 (round 4): the compiled kernel under
+#     shard_map must be bit-identical to the plain batched call.
+try:
+    from kvcache_factory_tpu.ops.kernels.flash_prefill import (
+        flash_prefill_attention_batched, flash_prefill_attention_batched_sharded)
+    _k = jax.random.PRNGKey(0)
+    _kq, _kk, _kv = jax.random.split(_k, 3)
+    _q = jax.random.normal(_kq, (2, 8, 2048, 128), jnp.bfloat16)
+    _kx = jax.random.normal(_kk, (2, 2, 2048, 128), jnp.bfloat16)
+    _vx = jax.random.normal(_kv, (2, 2, 2048, 128), jnp.bfloat16)
+    _tl = jnp.asarray([2048, 2048 - 300], jnp.int32)
+    _m = Mesh(np.asarray(jax.devices()[:1]).reshape(1, 1), ("dp", "tp"))
+    _ou, _su = jax.jit(lambda *a: flash_prefill_attention_batched(
+        *a, 16))(_q, _kx, _vx, _tl)
+    _os, _ss = jax.jit(lambda *a: flash_prefill_attention_batched_sharded(
+        _m, *a, 16))(_q, _kx, _vx, _tl)
+    du = np.abs(np.asarray(_os, np.float32) - np.asarray(_ou, np.float32)).max()
+    ds = np.abs(np.asarray(_ss) - np.asarray(_su)).max()
+    assert du == 0.0 and ds == 0.0, (du, ds)
+    print("tp1-shard prefill bit-identical OK")
+except Exception as e:
+    failures.append(("tp1-shard-prefill", "-"))
+    print(f"tp1-shard prefill FAIL: {str(e)[:100]}")
+
 # 2. Continuous-batching drain with an int8 quant cache on the chip.
 try:
     from kvcache_factory_tpu.config import EngineConfig
