@@ -301,14 +301,13 @@ def prefill(
     # Multi-device PREFILL keeps the kernel too (round 4, closing the
     # "kernels at scale" gap): the flash kernel is head-local, so under a
     # (dp, tp) mesh each device runs it on its [B/dp, H/tp] tile via
-    # shard_map (flash_prefill_attention_batched_sharded).  Falls back to
-    # the GSPMD blocked-XLA path when the tiling doesn't divide, the mesh
-    # has an ep axis, or per-head MInference budgets are in play (those are
-    # full-[Hq] vectors; sharding them is future work).
+    # shard_map (flash_prefill_attention_batched_sharded); MInference
+    # per-head budgets shard over tp with their heads.  Falls back to the
+    # GSPMD blocked-XLA path when the tiling doesn't divide or the mesh has
+    # an ep axis.
     flash_mesh = None
     if (flash_ok and mesh is not None
-            and "ep" not in getattr(mesh, "axis_names", ())
-            and sparse_budgets is None):
+            and "ep" not in getattr(mesh, "axis_names", ())):
         dp_w = mesh.shape.get("dp", 1)
         tp_w = mesh.shape.get("tp", 1)
         if B % dp_w == 0 and Hq % tp_w == 0 and Hkv % tp_w == 0:
@@ -360,7 +359,9 @@ def prefill(
                 attn, win_sc = flash_prefill_attention_batched_sharded(
                     flash_mesh, q, k, v, true_len.astype(jnp.int32), win,
                     sparse_pattern=comp.sparse_prefill,
-                    sliding_window=cfg.sliding_window)
+                    sliding_window=cfg.sliding_window,
+                    sparse_head_budgets=sb if sparse_budgets is not None
+                    else None)
             else:
                 attn, win_sc = flash_prefill_attention_batched(
                     q, k, v, true_len.astype(jnp.int32), win,

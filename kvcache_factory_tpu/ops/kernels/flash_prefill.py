@@ -574,6 +574,7 @@ def flash_prefill_attention_batched_sharded(
     v: jnp.ndarray,         # [B, Hkv, S, D]
     true_len: jnp.ndarray,  # [B] int32
     window: int,
+    sparse_head_budgets: Optional[jnp.ndarray] = None,  # [Hq, 2] int32
     **kw,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Multi-device flash prefill (round 4): batch shards over ``dp``, heads
@@ -583,6 +584,8 @@ def flash_prefill_attention_batched_sharded(
     each shard's local G == global G and the causal/window math is
     untouched.  Window scores come back per-shard ([B/dp, Hq/tp, S]) and
     recombine under GSPMD for the (head-wise) compression policies.
+    MInference per-head (vertical, slash) budgets shard over tp with their
+    heads (the vertical-slash mask estimation is itself head-local).
 
     This closes the round-3 'kernels at scale' gap for PREFILL: multi-device
     meshes previously always fell back to the blocked XLA path because GSPMD
@@ -598,15 +601,27 @@ def flash_prefill_attention_batched_sharded(
         f"B {B} %% dp {dp}, Hq {Hq} %% tp {tp}, Hkv {Hkv} %% tp {tp} "
         "must all be 0")
 
-    def local(qs, ks, vs, tl):
-        return flash_prefill_attention_batched(qs, ks, vs, tl, window, **kw)
+    if sparse_head_budgets is None:
+        def local(qs, ks, vs, tl):
+            return flash_prefill_attention_batched(qs, ks, vs, tl, window,
+                                                   **kw)
+        in_specs = (P("dp", "tp"), P("dp", "tp"), P("dp", "tp"), P("dp"))
+        args = (q, k, v, true_len.astype(jnp.int32))
+    else:
+        def local(qs, ks, vs, tl, sb):
+            return flash_prefill_attention_batched(
+                qs, ks, vs, tl, window, sparse_head_budgets=sb, **kw)
+        in_specs = (P("dp", "tp"), P("dp", "tp"), P("dp", "tp"), P("dp"),
+                    P("tp", None))
+        args = (q, k, v, true_len.astype(jnp.int32),
+                jnp.asarray(sparse_head_budgets, jnp.int32))
 
     fn = jax.shard_map(
         local, mesh=mesh,
-        in_specs=(P("dp", "tp"), P("dp", "tp"), P("dp", "tp"), P("dp")),
+        in_specs=in_specs,
         out_specs=(P("dp", "tp"), P("dp", "tp")),
         check_vma=False)
-    return fn(q, k, v, true_len.astype(jnp.int32))
+    return fn(*args)
 
 
 def _round_up(x: int, m: int) -> int:

@@ -527,3 +527,32 @@ def test_prefill_under_mesh_uses_sharded_kernel_and_matches_xla():
                                   np.asarray(ref.cache.lengths))
     np.testing.assert_allclose(np.asarray(got.cache.k),
                                np.asarray(ref.cache.k), rtol=2e-4, atol=2e-4)
+
+
+def test_flash_prefill_sharded_with_head_budgets_bit_exact():
+    """MInference per-head budgets shard over tp with their heads: the
+    sharded vertical-slash call must be bit-identical to the unsharded one
+    (each shard estimates its own heads' masks from its own q/k slice)."""
+    from kvcache_factory_tpu.ops.kernels.flash_prefill import (
+        flash_prefill_attention_batched,
+        flash_prefill_attention_batched_sharded)
+    from kvcache_factory_tpu.parallel.mesh import make_mesh
+    from kvcache_factory_tpu.config import ShardingConfig
+
+    B, Hq, S = 2, 4, 256
+    rng = np.random.default_rng(41)
+    q = jnp.asarray(rng.normal(size=(B, Hq, S, D)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(B, Hq, S, D)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(B, Hq, S, D)), jnp.float32)
+    tls = jnp.asarray([S, 190], jnp.int32)
+    pat = ("vertical_slash", 64, 16, 16)
+    budgets = jnp.asarray([[4, 2], [64, 16], [1, 1], [8, 8]], jnp.int32)
+
+    mesh = make_mesh(ShardingConfig(dp=2, tp=2))
+    out_s, _ = flash_prefill_attention_batched_sharded(
+        mesh, q, k, v, tls, 0, sparse_head_budgets=budgets,
+        sparse_pattern=pat, q_block=64, kv_block=64, interpret=True)
+    out_u, _ = flash_prefill_attention_batched(
+        q, k, v, tls, 0, sparse_head_budgets=budgets,
+        sparse_pattern=pat, q_block=64, kv_block=64, interpret=True)
+    np.testing.assert_array_equal(np.asarray(out_s), np.asarray(out_u))
