@@ -111,6 +111,12 @@ class InferenceEngine:
                                        or self.sp_mesh is not None)
                              else "auto")
         self.decode_mesh = self.mesh
+        if self.sp_mesh is not None and "tp" in self.sp_mesh.axis_names:
+            # Composed (dp, sp, tp) mesh: decode (and non-ring prefill ops)
+            # still get the shard_map'd kernels over (dp, tp); the sp axis
+            # goes unmentioned in the kernel specs — decode replicates over
+            # it (decode is not sequence-sharded; sp is the PREFILL axis).
+            self.decode_mesh = self.sp_mesh
 
     def _bucket(self, n: int) -> int:
         i = bisect.bisect_left(self.buckets, n)

@@ -287,3 +287,20 @@ def test_quant_decode_step_sharded_matches_unsharded(nbits):
     # kernel) and in test_kernels.py (kernel vs dequant oracle).
     tol = 0.2 if nbits == 8 else 1.5
     assert np.abs(np.stack(fp_outs) - got).max() < tol
+
+
+def test_sharded_decode_under_composed_sp_mesh(setup):
+    """The decode kernel wrappers tile (dp, tp) and leave an sp axis
+    unmentioned (replicated) — the composed (dp, sp, tp) prefill mesh can be
+    the decode mesh too (engine wires it; decode is not sequence-sharded)."""
+    from jax.sharding import Mesh
+    from jax.experimental import mesh_utils
+
+    cfg, params, pre = setup
+    arr = mesh_utils.create_device_mesh((1, 2, 2),
+                                        devices=jax.devices()[:4])
+    mesh = Mesh(arr, ("dp", "sp", "tp"))
+    ref, _ = _decode_n(cfg, params, pre.cache, 3, attn_backend="xla")
+    got, _ = _decode_n(cfg, params, pre.cache, 3, attn_backend="pallas",
+                       mesh=mesh, pallas_interpret=True)
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
