@@ -1,0 +1,334 @@
+"""Chunked prefill: process a prompt in fixed-size chunks, compress at the end.
+
+Serving motivation (no reference counterpart — the reference evaluates one
+sequence at a time, run_longbench.py:339): continuous-batching admission
+currently prefills a whole prompt in ONE dispatch, stalling every running
+decode stream for the prompt's full prefill time (~1.3 s at 32k on a v5e).
+Chunked prefill bounds that stall to one chunk (`chunk_size` tokens) so
+admission interleaves with decode chunks (runtime/batching.py wiring).
+
+Semantics are EXACT, not approximate: chunk attention is ordinary causal
+attention of the chunk's queries over all keys written so far (prefix +
+chunk), so the hidden states equal the one-shot prefill's up to fp
+reassociation, and compression runs once at the end with the same policy
+code (`compress_prefill`).  The one piece of state compression needs beyond
+the uncompressed K/V is the trailing queries: every supported policy reads
+``q`` only through its last ``max(window, 32)`` rows (SnapKV-family window
+scoring slices ``q[true_len-w : true_len]``, scoring.py:84; ThinK saliency
+slices ``q[-32:]``, think.py:42; CAM reuses the window probs), so each
+layer keeps a ``[B, Hq, WK, D]`` rolling store and finalize scatters it
+back into a zeros-elsewhere full-shape ``q`` — bitwise the rows the
+policies read, zeros where they don't look.
+
+Unsupported (loud errors, not silent drift): ``h2o`` (scores over ALL query
+rows — inherently anti-streaming, and its O(n^2) scoring is hostile to the
+long prompts chunking exists for) and ``minference`` sparse prefill (the
+chunk attention here is dense-causal; a sparse chunked pass would compute a
+different function).
+
+Memory note: unlike one-shot prefill (which compresses layer-by-layer
+inside the scan and never holds two layers' uncompressed KV), chunked
+prefill holds ALL layers' uncompressed KV until finalize —
+``2 · L · B · Hkv · S · D`` elements (~1.4 GB bf16 at 32k for the 1.1B
+flagship).  That is the price of bounded admission stalls.
+
+Reference citations: prefill/compress semantics match models/llama.py
+``prefill`` (itself matching llama_model.py:2136-2245); chunk attention is
+``blocked_causal_attention`` math with a row offset.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..config import CompressionConfig, ModelConfig, QuantConfig, dtype_of
+from ..ops.attention import NEG_INF
+from ..policies.methods import LayerContext, compress_prefill
+from .llama import (PrefillResult, _merge_heads, _split_heads, apply_rope,
+                    build_cache_from_packed, ffn_block, rms_norm,
+                    rope_inv_freq)
+
+UNSUPPORTED = ("h2o",)
+
+
+def _check_supported(comp: CompressionConfig):
+    if comp.method in UNSUPPORTED:
+        raise NotImplementedError(
+            f"chunked prefill does not support method={comp.method!r}: its "
+            "scores accumulate over ALL query rows, which streaming "
+            "discards.  Use the one-shot prefill, or a window-scored "
+            "method (snapkv/pyramidkv/adakv/headkv) for chunked admission.")
+    if comp.sparse_prefill is not None:
+        raise NotImplementedError(
+            "chunked prefill computes dense causal attention per chunk; "
+            "MInference sparse prefill patterns require the one-shot path.")
+
+
+def _blocked_chunk_attention(q, kbuf, vbuf, c0, true_len, sliding_window,
+                             q_block: int = 512):
+    """Chunk queries [B, Hq, Sc, D] over the full key buffer [B, Hkv, S, D]:
+    causal with global row offset ``c0`` (col <= c0 + row), right-padding and
+    optional sliding-window masks.  q-row blocked — O(q_block * S) logits."""
+    B, Hq, Sc, D = q.shape
+    Hk = kbuf.shape[1]
+    G = Hq // Hk
+    S = kbuf.shape[2]
+    qb = min(q_block, Sc)
+    nb = -(-Sc // qb)
+    Sp = nb * qb
+    if Sp != Sc:
+        q = jnp.pad(q, ((0, 0), (0, 0), (0, Sp - Sc), (0, 0)))
+    qg = q.reshape(B, Hk, G, Sp, D)
+    q_blocks = qg.reshape(B, Hk, G, nb, qb, D).transpose(3, 0, 1, 2, 4, 5)
+    scale = 1.0 / jnp.sqrt(jnp.asarray(D, jnp.float32))
+    cols = lax.broadcasted_iota(jnp.int32, (qb, S), 1)
+
+    def body(_, xs):
+        qblk, bi = xs
+        logits = jnp.einsum("bhgqd,bhkd->bhgqk", qblk, kbuf,
+                            preferred_element_type=jnp.float32) * scale
+        rows_g = c0 + bi * qb + lax.broadcasted_iota(jnp.int32, (qb, S), 0)
+        m = cols <= rows_g
+        if sliding_window is not None:
+            m = m & (cols > rows_g - sliding_window)
+        m = m[None] & (cols[None] < true_len[:, None, None])
+        logits = jnp.where(m[:, None, None], logits, NEG_INF)
+        probs = jax.nn.softmax(logits, axis=-1)
+        out = jnp.einsum("bhgqk,bhkd->bhgqd", probs.astype(vbuf.dtype), vbuf,
+                         preferred_element_type=jnp.float32)
+        return None, out.astype(q.dtype)
+
+    _, outs = lax.scan(body, None,
+                       (q_blocks, jnp.arange(nb, dtype=jnp.int32)))
+    out = outs.transpose(1, 2, 3, 0, 4, 5).reshape(B, Hq, Sp, D)
+    return out[:, :, :Sc]
+
+
+def chunk_step(
+    params: dict,
+    cfg: ModelConfig,
+    toks_chunk: jnp.ndarray,  # [B, Sc] int32 (right-padded rows are inert)
+    c0: jnp.ndarray,          # scalar int32: global offset of this chunk
+    true_len: jnp.ndarray,    # [B] int32 (GLOBAL prompt lengths)
+    kbuf: jnp.ndarray,        # [L, B, Hkv, S, D] uncompressed keys so far
+    vbuf: jnp.ndarray,
+    qwin: jnp.ndarray,        # [L, B, Hq, WK, D] trailing-query store
+    x_last: jnp.ndarray,      # [B, hidden] pre-final-norm last-token hidden
+):
+    """Run one chunk through all layers; returns updated
+    (kbuf, vbuf, qwin, x_last).  ``c0`` is traced, so one compiled program
+    serves every chunk of a bucket."""
+    B, Sc = toks_chunk.shape
+    L = cfg.num_hidden_layers
+    S = kbuf.shape[3]
+    Hq, Hkv, D = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
+    WK = qwin.shape[3]
+    dtype = dtype_of(cfg)
+
+    inv_freq = rope_inv_freq(cfg)
+    t = (c0 + jnp.arange(Sc)).astype(jnp.float32)
+    freqs = jnp.outer(t, inv_freq)
+    emb = jnp.concatenate([freqs, freqs], axis=-1)
+    cos, sin = jnp.cos(emb), jnp.sin(emb)  # [Sc, D]
+
+    # window-store gather indices: target slot j holds global position
+    # true_len - WK + j; its row inside THIS chunk is that minus c0.
+    src = (true_len[:, None] - WK + jnp.arange(WK)[None, :]
+           - c0)  # [B, WK]
+    src_valid = (src >= 0) & (src < Sc)
+    src_c = jnp.clip(src, 0, Sc - 1)
+
+    x = params["embed"][toks_chunk].astype(dtype)
+
+    def layer_fn(carry, scanned):
+        x, kbuf, vbuf, qwin = carry
+        lp, li = scanned
+        h = rms_norm(x, lp["input_norm"], cfg.rms_norm_eps)
+        qkv = h @ lp["qkv_proj"]
+        if "qkv_bias" in lp:
+            qkv = qkv + lp["qkv_bias"]
+        q = _split_heads(qkv[..., :Hq * D], Hq, D)
+        k = _split_heads(qkv[..., Hq * D:(Hq + Hkv) * D], Hkv, D)
+        v = _split_heads(qkv[..., (Hq + Hkv) * D:], Hkv, D)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+
+        kl = lax.dynamic_index_in_dim(kbuf, li, 0, keepdims=False)
+        vl = lax.dynamic_index_in_dim(vbuf, li, 0, keepdims=False)
+        kl = lax.dynamic_update_slice(kl, k.astype(dtype), (0, 0, c0, 0))
+        vl = lax.dynamic_update_slice(vl, v.astype(dtype), (0, 0, c0, 0))
+        kbuf = lax.dynamic_update_index_in_dim(kbuf, kl, li, 0)
+        vbuf = lax.dynamic_update_index_in_dim(vbuf, vl, li, 0)
+
+        attn = _blocked_chunk_attention(q, kl, vl, c0, true_len,
+                                        cfg.sliding_window)
+        h = _merge_heads(attn) @ lp["o_proj"]
+        if "o_bias" in lp:
+            h = h + lp["o_bias"]
+        x = x + h
+        h2 = rms_norm(x, lp["post_norm"], cfg.rms_norm_eps)
+        x = x + ffn_block(h2, lp, cfg)
+
+        # roll the trailing-query store: slots whose source row is in this
+        # chunk take it, others keep their previous value
+        qw = lax.dynamic_index_in_dim(qwin, li, 0, keepdims=False)
+        gathered = jnp.take_along_axis(
+            q, src_c[:, None, :, None], axis=2)  # [B, Hq, WK, D]
+        qw = jnp.where(src_valid[:, None, :, None], gathered.astype(qw.dtype),
+                       qw)
+        qwin = lax.dynamic_update_index_in_dim(qwin, qw, li, 0)
+        return (x, kbuf, vbuf, qwin), None
+
+    (x, kbuf, vbuf, qwin), _ = lax.scan(
+        layer_fn, (x, kbuf, vbuf, qwin),
+        (params["layers"], jnp.arange(L, dtype=jnp.int32)))
+
+    last_row = true_len - 1 - c0  # [B]
+    xl = jnp.take_along_axis(x, jnp.clip(last_row, 0, Sc - 1)[:, None, None],
+                             axis=1)[:, 0]
+    in_chunk = (last_row >= 0) & (last_row < Sc)
+    x_last = jnp.where(in_chunk[:, None], xl.astype(x_last.dtype), x_last)
+    return kbuf, vbuf, qwin, x_last
+
+
+def finalize(
+    params: dict,
+    cfg: ModelConfig,
+    comp: CompressionConfig,
+    kbuf: jnp.ndarray,        # [L, B, Hkv, S, D]
+    vbuf: jnp.ndarray,
+    qwin: jnp.ndarray,        # [L, B, Hq, WK, D]
+    x_last: jnp.ndarray,      # [B, hidden]
+    true_len: jnp.ndarray,    # [B]
+    cache_capacity: int,
+    *,
+    rng: Optional[jax.Array] = None,
+    head_capacity: Optional[jnp.ndarray] = None,
+    quant: Optional[QuantConfig] = None,
+) -> PrefillResult:
+    """Compress every layer's accumulated KV and build the configured cache.
+
+    The trailing-query store is scattered into a zeros-elsewhere full-shape
+    q at rows [true_len - WK, true_len) — bitwise the rows the policies
+    read (module docstring).  For prompts shorter than WK the placement is
+    partial, which only the no-compress branch can see (and it ignores q)."""
+    L, B, Hkv, S, D = kbuf.shape
+    Hq = cfg.num_attention_heads
+    WK = qwin.shape[3]
+    dtype = dtype_of(cfg)
+    cache_heads = comp.cache_heads(Hq, Hkv)
+    policy_capacity = comp.layer_capacity(L, S)
+    assert cache_capacity >= policy_capacity
+    think_packed = comp.method == "think" and comp.think_packed
+
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+    keys = jax.random.split(rng, L)
+    hc = (jnp.zeros((L, cache_heads), jnp.int32) if head_capacity is None
+          else jnp.asarray(head_capacity, jnp.int32))
+
+    start = jnp.where(true_len >= WK, true_len - WK, 0)  # [B]
+
+    def place(qw, st):  # [Hq, WK, D], scalar -> [Hq, S, D]
+        return lax.dynamic_update_slice(
+            jnp.zeros((Hq, S, D), qw.dtype), qw, (0, st, 0))
+
+    def per_layer(_, inp):
+        kl, vl, qw_l, li, hcl, key = inp
+        q_sub = jax.vmap(place)(qw_l, start)  # [B, Hq, S, D]
+        ctx = LayerContext(li, hcl if comp.method == "headkv" else None,
+                           key if comp.method in ("cam", "random") else None,
+                           None)
+        packed = compress_prefill(comp, L, policy_capacity, kl, vl, q_sub,
+                                  true_len, ctx)
+        pad = cache_capacity - policy_capacity
+        k_layer = jnp.pad(packed.k,
+                          ((0, 0), (0, 0), (0, pad), (0, 0))).astype(dtype)
+        v_layer = jnp.pad(packed.v,
+                          ((0, 0), (0, 0), (0, pad), (0, 0))).astype(dtype)
+        if think_packed:
+            from ..policies.think import (aggregate_queries_per_kv_head,
+                                          think_channel_keep_idx)
+            q_for = (q_sub if cache_heads == Hq
+                     else aggregate_queries_per_kv_head(q_sub, Hkv))
+            channels = jax.vmap(think_channel_keep_idx,
+                                in_axes=(0, 0, 0, 0, None))(
+                packed.k, packed.lengths, q_for, true_len,
+                comp.pruning_ratio)
+            return None, (k_layer, v_layer, packed.lengths, channels)
+        return None, (k_layer, v_layer, packed.lengths)
+
+    layer_ids = jnp.arange(L, dtype=jnp.int32)
+    channels_all = None
+    if think_packed:
+        _, (k_all, v_all, len_all, channels_all) = lax.scan(
+            per_layer, None, (kbuf, vbuf, qwin, layer_ids, hc, keys))
+    else:
+        _, (k_all, v_all, len_all) = lax.scan(
+            per_layer, None, (kbuf, vbuf, qwin, layer_ids, hc, keys))
+
+    xf = rms_norm(x_last[:, None], params["final_norm"], cfg.rms_norm_eps)
+    logits_last = (xf[:, 0] @ params["lm_head"]).astype(jnp.float32)
+
+    cache = build_cache_from_packed(cfg, comp, quant, k_all, v_all, len_all,
+                                    channels_all, true_len, cache_capacity,
+                                    policy_capacity)
+    return PrefillResult(logits_last, cache, None)
+
+
+def init_chunked_state(cfg: ModelConfig, comp: CompressionConfig,
+                       batch: int, S: int):
+    """Zeroed chunked-prefill carry (kbuf, vbuf, qwin, x_last)."""
+    L = cfg.num_hidden_layers
+    Hq, Hkv, D = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
+    dtype = dtype_of(cfg)
+    WK = max(comp.window_size, 32)
+    return (jnp.zeros((L, batch, Hkv, S, D), dtype),
+            jnp.zeros((L, batch, Hkv, S, D), dtype),
+            jnp.zeros((L, batch, Hq, WK, D), dtype),
+            jnp.zeros((batch, cfg.hidden_size), dtype))
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "comp", "cache_capacity",
+                                             "chunk_size", "quant"))
+def prefill_chunked(
+    params: dict,
+    cfg: ModelConfig,
+    comp: CompressionConfig,
+    tokens: jnp.ndarray,     # [B, S] int32, right-padded
+    true_len: jnp.ndarray,   # [B]
+    cache_capacity: int,
+    chunk_size: int,
+    rng: Optional[jax.Array] = None,
+    head_capacity: Optional[jnp.ndarray] = None,
+    quant: Optional[QuantConfig] = None,
+) -> PrefillResult:
+    """One-call chunked prefill (lax.scan over chunks) — the standalone API;
+    the batching engine instead drives :func:`chunk_step` incrementally so
+    decode chunks interleave between prompt chunks."""
+    _check_supported(comp)
+    B, S = tokens.shape
+    assert S % chunk_size == 0, \
+        f"bucket {S} must divide into {chunk_size}-token chunks"
+    n_chunks = S // chunk_size
+    state = init_chunked_state(cfg, comp, B, S)
+    tl = true_len.astype(jnp.int32)
+
+    def body(carry, c):
+        kbuf, vbuf, qwin, x_last = carry
+        toks_c = lax.dynamic_slice(tokens, (0, c * chunk_size),
+                                   (B, chunk_size))
+        carry = chunk_step(params, cfg, toks_c, c * chunk_size, tl,
+                           kbuf, vbuf, qwin, x_last)
+        return carry, None
+
+    (kbuf, vbuf, qwin, x_last), _ = lax.scan(
+        body, state, jnp.arange(n_chunks, dtype=jnp.int32))
+    return finalize(params, cfg, comp, kbuf, vbuf, qwin, x_last, tl,
+                    cache_capacity, rng=rng, head_capacity=head_capacity,
+                    quant=quant)

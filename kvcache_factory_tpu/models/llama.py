@@ -441,6 +441,20 @@ def prefill(
 
     all_logits = (x @ lm_head).astype(jnp.float32) if return_all_logits else None
 
+    cache = build_cache_from_packed(cfg, comp, quant, k_all, v_all, len_all,
+                                    channels_all, true_len, cache_capacity,
+                                    policy_capacity)
+    return PrefillResult(logits_last, cache, all_logits)
+
+
+def build_cache_from_packed(cfg, comp, quant, k_all, v_all, len_all,
+                            channels_all, true_len, cache_capacity,
+                            policy_capacity):
+    """Packed per-layer prefill KV -> the configured cache pytree (dense /
+    quant XLA / quant TPU-layout / think-packed / evicting).  Shared by the
+    one-shot prefill tail and chunked prefill's finalize."""
+    D = cfg.head_dim
+    think_packed = comp.method == "think" and comp.think_packed
     if quant is not None:
         # Same explicit rejection think_packed gets: silently building a
         # quantized cache would drop the configured decode-stage eviction.
@@ -449,29 +463,26 @@ def prefill(
         if _quant_tpu_layout(quant, D, cache_capacity):
             make_tpu_cache = (from_packed_prefill_tpu4 if quant.nbits == 4
                               else from_packed_prefill_tpu)
-            cache = make_tpu_cache(k_all, v_all, len_all,
-                                   true_len.astype(jnp.int32))
-        else:
-            cache = from_packed_prefill(k_all, v_all, len_all,
-                                        true_len.astype(jnp.int32), quant)
-    elif think_packed:
+            return make_tpu_cache(k_all, v_all, len_all,
+                                  true_len.astype(jnp.int32))
+        return from_packed_prefill(k_all, v_all, len_all,
+                                   true_len.astype(jnp.int32), quant)
+    if think_packed:
         from ..cache.think_cache import build_think_cache
         dense_cap = min(cache_capacity,
                         comp.recent_size + (cache_capacity - policy_capacity))
-        cache = build_think_cache(k_all, v_all, channels_all, len_all,
-                                  true_len.astype(jnp.int32),
-                                  comp.recent_size, dense_cap)
-    elif comp.decode_evict:
+        return build_think_cache(k_all, v_all, channels_all, len_all,
+                                 true_len.astype(jnp.int32),
+                                 comp.recent_size, dense_cap)
+    if comp.decode_evict:
         pos = true_len.astype(jnp.int32)
-        cache = EvictingKVCache(
+        return EvictingKVCache(
             k=k_all, v=v_all,
             scores=jnp.zeros(len_all.shape + (cache_capacity,), jnp.float32),
             stamps=init_eviction_stamps(len_all, pos, cache_capacity),
             lengths=len_all, positions=pos)
-    else:
-        cache = KVCache(k=k_all, v=v_all, lengths=len_all,
-                        positions=true_len.astype(jnp.int32))
-    return PrefillResult(logits_last, cache, all_logits)
+    return KVCache(k=k_all, v=v_all, lengths=len_all,
+                   positions=true_len.astype(jnp.int32))
 
 
 def _quant_tpu_layout(quant: QuantConfig, head_dim: int, capacity: int) -> bool:

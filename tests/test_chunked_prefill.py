@@ -1,0 +1,209 @@
+"""Chunked prefill parity vs the one-shot prefill (exact semantics claim).
+
+Oracle: llama.prefill (the established, HF-parity-tested path) — chunked
+prefill must produce equivalent logits, caches, and downstream generations
+for every supported policy family, at any chunk size.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from kvcache_factory_tpu.config import (CompressionConfig, ModelConfig,
+                                        QuantConfig)
+from kvcache_factory_tpu.models import llama
+from kvcache_factory_tpu.models.chunked_prefill import prefill_chunked
+from kvcache_factory_tpu.models.weights import init_params
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = ModelConfig(model_type="llama", vocab_size=128, hidden_size=128,
+                      intermediate_size=256, num_hidden_layers=2,
+                      num_attention_heads=8, num_key_value_heads=4,
+                      head_dim=16, max_position_embeddings=512,
+                      dtype="float32")
+    params = init_params(cfg, jax.random.PRNGKey(2), dtype=jnp.float32)
+    B, S = 2, 128
+    toks = jnp.asarray(np.random.default_rng(3).integers(0, 128, (B, S)),
+                       jnp.int32)
+    tl = jnp.asarray([S, 101], jnp.int32)
+    return cfg, params, toks, tl
+
+
+METHODS = [
+    dict(method="snapkv", max_capacity_prompt=48, window_size=8,
+         kernel_size=7, pooling="maxpool"),
+    dict(method="pyramidkv", max_capacity_prompt=48, window_size=8),
+    dict(method="adakv", max_capacity_prompt=48, window_size=8),
+    dict(method="streamingllm", max_capacity_prompt=48, window_size=44),
+    dict(method="l2norm", max_capacity_prompt=48),
+    dict(method="random", max_capacity_prompt=48, window_size=8),
+    dict(method="fullkv", max_capacity_prompt=512),
+    dict(method="cam", max_capacity_prompt=48, window_size=8),
+    dict(method="think", max_capacity_prompt=48, window_size=8,
+         pruning_ratio=0.4),
+    dict(method="snapkv", max_capacity_prompt=48, window_size=8,
+         group_reduce="mean"),
+]
+
+
+@pytest.mark.parametrize("kw", METHODS,
+                         ids=[m["method"] + m.get("group_reduce", "")
+                              for m in METHODS])
+def test_chunked_matches_oneshot(setup, kw):
+    cfg, params, toks, tl = setup
+    comp = CompressionConfig(**kw)
+    rng = jax.random.PRNGKey(5)
+    ref = llama.prefill(params, cfg, comp, toks, tl, cache_capacity=160,
+                        rng=rng, attn_backend="xla")
+    got = prefill_chunked(params, cfg, comp, toks, tl, cache_capacity=160,
+                          chunk_size=32, rng=rng)
+    np.testing.assert_allclose(np.asarray(got.logits_last),
+                               np.asarray(ref.logits_last),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_array_equal(np.asarray(got.cache.lengths),
+                                  np.asarray(ref.cache.lengths))
+    np.testing.assert_allclose(np.asarray(got.cache.k),
+                               np.asarray(ref.cache.k), rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(got.cache.v),
+                               np.asarray(ref.cache.v), rtol=2e-5, atol=2e-5)
+
+    # downstream decode parity: 4 greedy tokens from each cache
+    def decode4(pre):
+        tok = jnp.argmax(pre.logits_last, -1).astype(jnp.int32)
+        cache, out = pre.cache, []
+        for _ in range(4):
+            logits, cache = llama.decode_step(params, cfg, tok, cache,
+                                              attn_backend="xla")
+            tok = jnp.argmax(logits, -1).astype(jnp.int32)
+            out.append(np.asarray(tok))
+        return np.stack(out)
+
+    np.testing.assert_array_equal(decode4(got), decode4(ref))
+
+
+@pytest.mark.parametrize("chunk", [16, 64, 128])
+def test_chunk_size_invariance(setup, chunk):
+    """Any chunk size (including one chunk == the whole prompt) gives the
+    same compressed cache."""
+    cfg, params, toks, tl = setup
+    comp = CompressionConfig(method="snapkv", max_capacity_prompt=48,
+                             window_size=8, kernel_size=7, pooling="maxpool")
+    base = prefill_chunked(params, cfg, comp, toks, tl, cache_capacity=160,
+                           chunk_size=32)
+    got = prefill_chunked(params, cfg, comp, toks, tl, cache_capacity=160,
+                          chunk_size=chunk)
+    np.testing.assert_allclose(np.asarray(got.cache.k),
+                               np.asarray(base.cache.k),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_array_equal(np.asarray(got.cache.lengths),
+                                  np.asarray(base.cache.lengths))
+
+
+def test_chunked_quant_cache(setup):
+    """finalize builds the quantized cache via the shared tail."""
+    cfg, params, toks, tl = setup
+    comp = CompressionConfig(method="snapkv", max_capacity_prompt=48,
+                             window_size=8)
+    q8 = QuantConfig(nbits=8, q_group_size=16)
+    ref = llama.prefill(params, cfg, comp, toks, tl, cache_capacity=160,
+                        quant=q8, attn_backend="xla")
+    got = prefill_chunked(params, cfg, comp, toks, tl, cache_capacity=160,
+                          chunk_size=32, quant=q8)
+    assert type(got.cache).__name__ == type(ref.cache).__name__
+    np.testing.assert_array_equal(np.asarray(got.cache.lengths),
+                                  np.asarray(ref.cache.lengths))
+
+
+def test_chunked_sliding_window(setup):
+    """Mistral geometry: the chunk attention applies the sliding window."""
+    import dataclasses
+    cfg, params, toks, tl = setup
+    cfg_sw = dataclasses.replace(cfg, model_type="mistral", sliding_window=24)
+    comp = CompressionConfig(method="snapkv", max_capacity_prompt=48,
+                             window_size=8)
+    ref = llama.prefill(params, cfg_sw, comp, toks, tl, cache_capacity=160,
+                        attn_backend="xla")
+    got = prefill_chunked(params, cfg_sw, comp, toks, tl, cache_capacity=160,
+                          chunk_size=32)
+    np.testing.assert_allclose(np.asarray(got.logits_last),
+                               np.asarray(ref.logits_last),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(got.cache.k),
+                               np.asarray(ref.cache.k), rtol=2e-5, atol=2e-5)
+
+
+def test_chunked_rejects_h2o_and_sparse(setup):
+    cfg, params, toks, tl = setup
+    with pytest.raises(NotImplementedError):
+        prefill_chunked(params, cfg,
+                        CompressionConfig(method="h2o",
+                                          max_capacity_prompt=48),
+                        toks, tl, cache_capacity=160, chunk_size=32)
+    with pytest.raises(NotImplementedError):
+        prefill_chunked(params, cfg,
+                        CompressionConfig(method="minference",
+                                          sparse_prefill=("ashape", 1, 1, 4)),
+                        toks, tl, cache_capacity=160, chunk_size=32)
+
+
+# ---------------------------------------------------------------------------
+# Continuous-batching chunked admission
+# ---------------------------------------------------------------------------
+
+def test_batching_chunked_admission_matches_oneshot():
+    """prefill_chunk_tokens interleaves prompt chunks with decode chunks —
+    outputs must equal the one-shot-admission drain exactly."""
+    from kvcache_factory_tpu.config import EngineConfig
+    from kvcache_factory_tpu.runtime.batching import ContinuousBatchingEngine
+
+    cfg = ModelConfig(model_type="llama", vocab_size=128, hidden_size=128,
+                      intermediate_size=256, num_hidden_layers=2,
+                      num_attention_heads=8, num_key_value_heads=4,
+                      head_dim=16, max_position_embeddings=512,
+                      dtype="float32")
+    params = init_params(cfg, jax.random.PRNGKey(7), dtype=jnp.float32)
+    comp = CompressionConfig(method="snapkv", max_capacity_prompt=32,
+                             window_size=8, kernel_size=7, pooling="maxpool")
+    ecfg = EngineConfig(model=cfg, compression=comp,
+                        prefill_buckets=(64, 128))
+    rng = np.random.default_rng(5)
+    prompts = [rng.integers(0, 128, size=s).tolist()
+               for s in (40, 90, 120, 55, 70)]
+    max_new = 6
+
+    plain = ContinuousBatchingEngine(params, ecfg, n_slots=2,
+                                     max_new_cap=max_new)
+    rids_p = [plain.submit(p, max_new) for p in prompts]
+    out_p = plain.run()
+
+    chunked = ContinuousBatchingEngine(params, ecfg, n_slots=2,
+                                       max_new_cap=max_new,
+                                       prefill_chunk_tokens=32)
+    rids_c = [chunked.submit(p, max_new) for p in prompts]
+    out_c = chunked.run()
+
+    for rp, rc in zip(rids_p, rids_c):
+        assert out_p[rp] == out_c[rc], (out_p[rp], out_c[rc])
+
+
+def test_batching_chunked_rejects_bad_bucket():
+    from kvcache_factory_tpu.config import EngineConfig
+    from kvcache_factory_tpu.runtime.batching import ContinuousBatchingEngine
+
+    cfg = ModelConfig(model_type="llama", vocab_size=128, hidden_size=128,
+                      intermediate_size=256, num_hidden_layers=2,
+                      num_attention_heads=8, num_key_value_heads=4,
+                      head_dim=16, max_position_embeddings=512,
+                      dtype="float32")
+    params = init_params(cfg, jax.random.PRNGKey(7), dtype=jnp.float32)
+    ecfg = EngineConfig(
+        model=cfg,
+        compression=CompressionConfig(method="snapkv",
+                                      max_capacity_prompt=32, window_size=8),
+        prefill_buckets=(96,))
+    with pytest.raises(ValueError):
+        ContinuousBatchingEngine(params, ecfg, prefill_chunk_tokens=64)
