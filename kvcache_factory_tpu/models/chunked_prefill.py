@@ -135,6 +135,7 @@ def chunk_step(
     freqs = jnp.outer(t, inv_freq)
     emb = jnp.concatenate([freqs, freqs], axis=-1)
     cos, sin = jnp.cos(emb), jnp.sin(emb)  # [Sc, D]
+    use_flash = (jax.default_backend() in ("tpu", "axon") and D % 128 == 0)
 
     # window-store gather indices: target slot j holds global position
     # true_len - WK + j; its row inside THIS chunk is that minus c0.
@@ -165,8 +166,19 @@ def chunk_step(
         kbuf = lax.dynamic_update_index_in_dim(kbuf, kl, li, 0)
         vbuf = lax.dynamic_update_index_in_dim(vbuf, vl, li, 0)
 
-        attn = _blocked_chunk_attention(q, kl, vl, c0, true_len,
-                                        cfg.sliding_window)
+        if use_flash:
+            # chunk mode of the flash kernel: q rows carry global ids
+            # row_offset + r and blocks past each q block's causal frontier
+            # are skipped — all chunks together cost exactly the causal
+            # half, at kernel speed (window=0: no score emission; the
+            # trailing-query store covers scoring at finalize)
+            from ..ops.kernels import flash_prefill as _fp
+            attn, _ = _fp.flash_prefill_attention_batched(
+                q, kl, vl, true_len, 0, sliding_window=cfg.sliding_window,
+                row_offset=c0)
+        else:
+            attn = _blocked_chunk_attention(q, kl, vl, c0, true_len,
+                                            cfg.sliding_window)
         h = _merge_heads(attn) @ lp["o_proj"]
         if "o_bias" in lp:
             h = h + lp["o_bias"]

@@ -63,16 +63,21 @@ NEG_INF = float(jnp.finfo(jnp.float32).min)
 def _flash_kernel(S: int, QB: int, KB: int, D: int, G: int, W: int,
                   WPAD: int, use_stash: bool, scale: float, sparse,
                   sink_blocks: int, local_blocks: int, stride: int,
-                  use_mask: bool, SW,
+                  use_mask: bool, SW, use_off: bool,
                   *refs):
     if use_mask:
-        # scalar prefetch: tl [B], block mask [B, Hq, n_qb, n_kvb] int32
+        # scalar prefetch: [off [1]], tl [B], mask [B, Hq, n_qb, n_kvb] int32
         (tl_ref, mask_ref, q_ref, k_hbm, v_hbm, o_ref, scores_ref,
          k_s, v_s, s_buf, swin_buf, ml_buf, sems) = refs
+        off_ref = None
+    elif use_off:
+        (off_ref, tl_ref, q_ref, k_hbm, v_hbm, o_ref, scores_ref,
+         k_s, v_s, s_buf, swin_buf, ml_buf, sems) = refs
+        mask_ref = None
     else:
         (tl_ref, q_ref, k_hbm, v_hbm, o_ref, scores_ref,
          k_s, v_s, s_buf, swin_buf, ml_buf, sems) = refs
-        mask_ref = None
+        mask_ref = off_ref = None
     # Grid (B, Hq, n_qb), B outermost (VERDICT r3 #4: batch folded into the
     # grid; the per-example true_len rides the [B] scalar-prefetch vector —
     # the decode kernel's lens idiom — replacing the per-example Python loop
@@ -85,7 +90,12 @@ def _flash_kernel(S: int, QB: int, KB: int, D: int, G: int, W: int,
     true_len = tl_ref[b]
     win_start = true_len - W
 
-    row0 = qb * QB
+    # Chunked-prefill mode (use_off): q rows are a CHUNK of a longer
+    # sequence; their global row ids start at off_ref[0] and K/V span the
+    # full buffer.  Causality/window/kv_hi all use the global ids, so blocks
+    # past the chunk's causal frontier are skipped — total attention over
+    # all chunks is exactly the causal half, at kernel speed.
+    row0 = qb * QB + (off_ref[0] if use_off else 0)
     # Causal: this q block only needs kv blocks [0, kv_hi).
     kv_hi = lax.min((row0 + QB + KB - 1) // KB, S // KB)
     # Sliding window (Mistral/Qwen2, mistral_model.py:273-288): row r sees
@@ -410,8 +420,17 @@ def flash_prefill_attention_batched(
     sparse_pattern: Optional[Tuple[int, int, int]] = None,
     sparse_head_budgets: Optional[jnp.ndarray] = None,  # [Hq, 2] int32
     sliding_window: Optional[int] = None,
+    row_offset: Optional[jnp.ndarray] = None,  # scalar int32 (chunk mode)
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Returns (out [B, Hq, S, D], window_scores [B, Hq, S] fp32).
+    """Returns (out [B, Hq, S_q, D], window_scores [B, Hq, S_k] fp32).
+
+    Chunk mode (``row_offset`` given): q is a CHUNK [B, Hq, S_q, D] of a
+    longer sequence whose keys fill k/v [B, Hkv, S_k, D]; q row r has
+    global id row_offset + r and attends causally over the buffer.  Blocks
+    past each q block's causal frontier are skipped, so running all chunks
+    costs exactly the causal half at kernel speed — the chunked-prefill
+    attention (models/chunked_prefill.py).  Score emission and sparse
+    patterns require whole-sequence q (window=0 / dense only here).
 
     ONE pallas_call for the whole batch (VERDICT r3 #4): grid (B, Hq, n_qb)
     with each example's true_len read off the [B] scalar-prefetch vector —
@@ -431,14 +450,22 @@ def flash_prefill_attention_batched(
     model passes window=0 under sliding_window and the (w x S, ~0.1% of
     prefill FLOPs) scoring matmul runs in XLA for exact policy parity.
     """
-    B, Hq, S, D = q.shape
+    B, Hq, S_q, D = q.shape
     Hkv = k.shape[1]
+    S = k.shape[2]
     G = Hq // Hkv
+    use_off = row_offset is not None
     assert D % 128 == 0, "flash prefill requires lane-aligned head_dim"
     assert sliding_window is None or window == 0, (
         "in-kernel score emission assumes dense causal softmax; pass "
         "window=0 with sliding_window and score in XLA instead")
     assert sliding_window is None or sliding_window >= 1
+    if use_off:
+        assert window == 0 and sparse_pattern is None, (
+            "chunk mode: score emission and sparse patterns need "
+            "whole-sequence queries")
+    else:
+        assert S_q == S, "q and k lengths differ only in chunk mode"
     # v5e sweep (s_buf-pipelined kernel, vmem_limit raised past the 16 MB
     # default): 32k/64k want 2048x2048 blocks (121/131 TF/s); at <=16k the
     # shorter KV runs favor 1024x1024 (4k 51, 8k 81, 16k 102 TF/s).  Sparse
@@ -449,16 +476,23 @@ def flash_prefill_attention_batched(
         q_block = 1024 if (S <= 16384 or sparse_pattern is not None) else 2048
     if kv_block is None:
         kv_block = q_block
-    QB = min(q_block, S)
+    QB = min(q_block, S_q)
     KB = min(kv_block, S)
-    S_pad = max(_round_up(S, QB), _round_up(S, KB))
-    S_pad = _round_up(S_pad, QB)
-    S_pad = _round_up(S_pad, KB)
+    if not use_off:
+        # q and k pad together so the square grids stay exactly as before
+        S_pad = max(_round_up(S, QB), _round_up(S, KB))
+        S_pad = _round_up(S_pad, QB)
+        S_pad = _round_up(S_pad, KB)
+        Sq_pad = S_pad
+    else:
+        S_pad = _round_up(S, KB)
+        Sq_pad = _round_up(S_q, QB)
+    if Sq_pad != S_q:
+        q = jnp.pad(q, ((0, 0), (0, 0), (0, Sq_pad - S_q), (0, 0)))
     if S_pad != S:
-        pq = ((0, 0), (0, 0), (0, S_pad - S), (0, 0))
-        q = jnp.pad(q, pq)
-        k = jnp.pad(k, pq)
-        v = jnp.pad(v, pq)
+        pk = ((0, 0), (0, 0), (0, S_pad - S), (0, 0))
+        k = jnp.pad(k, pk)
+        v = jnp.pad(v, pk)
 
     scale = 1.0 / float(D) ** 0.5
     # sparse_pattern: the MInference-equivalent sparse prefill.
@@ -469,7 +503,8 @@ def flash_prefill_attention_batched(
     sink_b, local_b, stride = 0, 0, 1
     sparse = use_mask = False
     tl1 = jnp.reshape(true_len.astype(jnp.int32), (B,))
-    scalar_args = (tl1,)
+    scalar_args = ((jnp.reshape(row_offset, (1,)).astype(jnp.int32), tl1)
+                   if use_off else (tl1,))
     if sparse_pattern is not None:
         if sparse_pattern[0] == "vertical_slash":
             _, v_topk, s_topk, last_q = sparse_pattern
@@ -494,14 +529,15 @@ def flash_prefill_attention_batched(
         WPAD = 8  # minimal placeholder scratch
     kernel = functools.partial(_flash_kernel, S_pad, QB, KB, D, G, window,
                                WPAD, use_stash, scale, sparse, sink_b,
-                               local_b, stride, use_mask, sliding_window)
+                               local_b, stride, use_mask, sliding_window,
+                               use_off)
 
     n_scalar = len(scalar_args)
     blk_q = lambda b, h, qb, *_: (b, h, qb, 0)
     blk_s = lambda b, h, qb, *_: (b, h, 0, 0)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=n_scalar,
-        grid=(B, Hq, S_pad // QB),
+        grid=(B, Hq, Sq_pad // QB),
         in_specs=[
             pl.BlockSpec((1, 1, QB, D), blk_q, memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.HBM),
@@ -534,7 +570,7 @@ def flash_prefill_attention_batched(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((B, Hq, S_pad, D), q.dtype),
+            jax.ShapeDtypeStruct((B, Hq, Sq_pad, D), q.dtype),
             jax.ShapeDtypeStruct((B, Hq, 1, S_pad), jnp.float32),
         ],
         # The default scoped-VMEM limit is 16 MB (a compiler default, not the
@@ -548,7 +584,7 @@ def flash_prefill_attention_batched(
         interpret=interpret,
     )(*scalar_args, q, k, v)
 
-    return out[:, :, :S], scores[:, :, 0, :S]
+    return out[:, :, :S_q], scores[:, :, 0, :S]
 
 
 def flash_prefill_attention(

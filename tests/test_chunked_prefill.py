@@ -207,3 +207,44 @@ def test_batching_chunked_rejects_bad_bucket():
         prefill_buckets=(96,))
     with pytest.raises(ValueError):
         ContinuousBatchingEngine(params, ecfg, prefill_chunk_tokens=64)
+
+
+def test_chunked_prefill_kernel_path_matches_xla(setup):
+    """chunk_step's flash chunk-mode path (patched to interpret on CPU)
+    must match the XLA chunk attention end to end."""
+    from unittest import mock
+    import functools
+    import kvcache_factory_tpu.ops.kernels.flash_prefill as fp
+
+    cfg, params, toks, tl = setup
+    import dataclasses
+    cfg128 = dataclasses.replace(cfg, num_attention_heads=4,
+                                 num_key_value_heads=2, head_dim=128,
+                                 hidden_size=512, intermediate_size=768)
+    params128 = init_params(cfg128, jax.random.PRNGKey(4),
+                            dtype=jnp.float32)
+    comp = CompressionConfig(method="snapkv", max_capacity_prompt=48,
+                             window_size=8, kernel_size=7, pooling="maxpool")
+    ref = prefill_chunked(params128, cfg128, comp, toks, tl,
+                          cache_capacity=160, chunk_size=32)  # XLA path
+    orig = fp.flash_prefill_attention_batched
+    calls = []
+
+    def interp(*a, **kw):
+        calls.append(1)
+        kw["interpret"] = True
+        return orig(*a, **kw)
+
+    jax.clear_caches()  # the ref call cached the XLA-path trace
+    with mock.patch.object(jax, "default_backend", return_value="tpu"), \
+            mock.patch.object(fp, "flash_prefill_attention_batched", interp):
+        got = prefill_chunked(params128, cfg128, comp, toks, tl,
+                              cache_capacity=160, chunk_size=32)
+    assert calls, "kernel chunk path not taken"
+    np.testing.assert_allclose(np.asarray(got.logits_last),
+                               np.asarray(ref.logits_last),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(got.cache.k),
+                               np.asarray(ref.cache.k), rtol=2e-4, atol=2e-4)
+    np.testing.assert_array_equal(np.asarray(got.cache.lengths),
+                                  np.asarray(ref.cache.lengths))

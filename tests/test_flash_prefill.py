@@ -556,3 +556,52 @@ def test_flash_prefill_sharded_with_head_budgets_bit_exact():
         q, k, v, tls, 0, sparse_head_budgets=budgets,
         sparse_pattern=pat, q_block=64, kv_block=64, interpret=True)
     np.testing.assert_array_equal(np.asarray(out_s), np.asarray(out_u))
+
+
+def test_flash_chunk_mode_matches_full_call_slices():
+    """row_offset chunk mode: running the kernel chunk-by-chunk over the
+    same K/V buffer reproduces the one-call full-sequence output exactly
+    (per-chunk rows == the corresponding slice)."""
+    from kvcache_factory_tpu.ops.kernels.flash_prefill import (
+        flash_prefill_attention_batched)
+    B, Hq, G, S, Sc = 2, 4, 2, 256, 64
+    Hkv = Hq // G
+    rng = np.random.default_rng(47)
+    q = jnp.asarray(rng.normal(size=(B, Hq, S, D)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(B, Hkv, S, D)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(B, Hkv, S, D)), jnp.float32)
+    tls = jnp.asarray([S, 190], jnp.int32)
+
+    full, _ = flash_prefill_attention_batched(
+        q, k, v, tls, 0, q_block=64, kv_block=64, interpret=True)
+    for c0 in range(0, S, Sc):
+        got, _ = flash_prefill_attention_batched(
+            q[:, :, c0:c0 + Sc], k, v, tls, 0, q_block=64, kv_block=64,
+            interpret=True, row_offset=jnp.int32(c0))
+        # rows past true_len are garbage in both; compare valid region
+        for b, t in enumerate(np.asarray(tls)):
+            lo, hi = c0, min(c0 + Sc, int(t))
+            if hi <= lo:
+                continue
+            np.testing.assert_array_equal(
+                np.asarray(got)[b, :, :hi - lo],
+                np.asarray(full)[b, :, lo:hi])
+
+
+def test_flash_chunk_mode_sliding_window():
+    from kvcache_factory_tpu.ops.kernels.flash_prefill import (
+        flash_prefill_attention_batched)
+    B, Hq, S, Sc, W = 1, 2, 256, 64, 48
+    rng = np.random.default_rng(53)
+    q = jnp.asarray(rng.normal(size=(B, Hq, S, D)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(B, Hq, S, D)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(B, Hq, S, D)), jnp.float32)
+    tls = jnp.asarray([S], jnp.int32)
+    full, _ = flash_prefill_attention_batched(
+        q, k, v, tls, 0, q_block=64, kv_block=64, interpret=True,
+        sliding_window=W)
+    got, _ = flash_prefill_attention_batched(
+        q[:, :, 64:128], k, v, tls, 0, q_block=64, kv_block=64,
+        interpret=True, sliding_window=W, row_offset=jnp.int32(64))
+    np.testing.assert_array_equal(np.asarray(got),
+                                  np.asarray(full)[:, :, 64:128])

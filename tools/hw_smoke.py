@@ -141,6 +141,29 @@ except Exception as e:
     failures.append(("tp1-shard-prefill", "-"))
     print(f"tp1-shard prefill FAIL: {str(e)[:100]}")
 
+# 1c. Flash-kernel chunk mode (chunked prefill): per-chunk output must be
+#     bit-identical to the corresponding slice of a full-sequence call.
+try:
+    _qc = jax.random.normal(jax.random.PRNGKey(2), (1, 4, 1024, 128),
+                            jnp.bfloat16)
+    _kc = jax.random.normal(jax.random.PRNGKey(3), (1, 1, 1024, 128),
+                            jnp.bfloat16)
+    _vc = jax.random.normal(jax.random.PRNGKey(4), (1, 1, 1024, 128),
+                            jnp.bfloat16)
+    _tlc = jnp.asarray([1000], jnp.int32)
+    _full, _ = jax.jit(lambda *a: flash_prefill_attention_batched(
+        *a, 0))(_qc, _kc, _vc, _tlc)
+    _got, _ = jax.jit(lambda *a: flash_prefill_attention_batched(
+        a[0][:, :, 512:], *a[1:], 0,
+        row_offset=jnp.int32(512)))(_qc, _kc, _vc, _tlc)
+    dd = np.abs(np.asarray(_got, np.float32)[0, :, :488]
+                - np.asarray(_full, np.float32)[0, :, 512:1000]).max()
+    assert dd == 0.0, dd
+    print("flash chunk-mode bit-identical OK")
+except Exception as e:
+    failures.append(("flash-chunk-mode", "-"))
+    print(f"flash chunk-mode FAIL: {str(e)[:100]}")
+
 # 2. Continuous-batching drain with an int8 quant cache on the chip.
 try:
     from kvcache_factory_tpu.config import EngineConfig
