@@ -105,6 +105,19 @@ class ContinuousBatchingEngine:
                 raise ValueError(
                     f"prefill buckets {bad} not divisible by "
                     f"prefill_chunk_tokens={prefill_chunk_tokens}")
+        # Prefix caching (round 4; needs chunked admission): registered
+        # prefixes (e.g. a shared system prompt) snapshot their chunked
+        # state at the chunk boundary the first time a prompt crosses it —
+        # a FREE reference copy (jax arrays are immutable) — and later
+        # admissions sharing the prefix resume from the snapshot, skipping
+        # its chunks entirely.  Resume is sound because chunk state is
+        # position-local: kbuf rows past the prefix get overwritten or
+        # masked by the new true_len, and the trailing-query store refills
+        # from the resumed chunks (resume point is capped at
+        # true_len - max(window, 32) so every window row is recomputed).
+        self._prefixes: List[List[int]] = []
+        self._prefix_states: Dict[tuple, tuple] = {}
+        self.prefill_chunks_executed = 0
         self.eos = tuple(eos_token_ids)
         self.head_capacity = (None if head_capacity is None
                               else jnp.asarray(head_capacity, jnp.int32))
@@ -165,17 +178,52 @@ class ContinuousBatchingEngine:
                                           quant=quant))
         return self._chunk_jit, self._final_jit
 
+    def cache_prefix(self, prefix_ids: Sequence[int]) -> None:
+        """Register a shared prompt prefix (system prompt) for prefix
+        caching.  The first admitted prompt that starts with it snapshots
+        its chunked state at the prefix's chunk boundary; later admissions
+        resume from the snapshot.  Requires chunked admission."""
+        if not self.prefill_chunk_tokens:
+            raise ValueError("prefix caching requires prefill_chunk_tokens")
+        self._prefixes.append(list(prefix_ids))
+
+    def _prefix_resume_point(self, prompt: List[int]) -> int:
+        """Largest registered-prefix chunk boundary usable for this prompt
+        (0 = none).  Capped at true_len - max(window, 32): every row the
+        compression policies read q for must be recomputed post-resume."""
+        Sc = self.prefill_chunk_tokens
+        wk = max(self.cfg.compression.window_size, 32)
+        best = 0
+        for pref in self._prefixes:
+            c0 = (len(pref) // Sc) * Sc
+            c0 = min(c0, ((len(prompt) - wk) // Sc) * Sc)
+            if c0 <= best or prompt[:c0] != pref[:c0]:
+                continue
+            best = c0
+        return best
+
     def _start_chunked(self, prompt: List[int], bucket: int):
         from ..models.chunked_prefill import init_chunked_state
         toks = np.zeros((1, bucket), np.int32)
         toks[0, :len(prompt)] = prompt
+        c0 = 0
+        state = None
+        snap_at = self._prefix_resume_point(prompt)
+        if snap_at:
+            hit = self._prefix_states.get((bucket, tuple(prompt[:snap_at])))
+            if hit is not None:
+                c0, state = snap_at, hit
+        if state is None:
+            state = init_chunked_state(self.cfg.model,
+                                       self.cfg.compression, 1, bucket)
         return {
             "toks": jnp.asarray(toks),
             "tl": jnp.asarray([len(prompt)], jnp.int32),
-            "c0": 0,
+            "c0": c0,
             "bucket": bucket,
-            "state": init_chunked_state(self.cfg.model,
-                                        self.cfg.compression, 1, bucket),
+            "state": state,
+            "snap_at": 0 if c0 else snap_at,  # record when we pass it
+            "prompt": prompt,
         }
 
     def _advance_chunked(self, p):
@@ -187,6 +235,13 @@ class ContinuousBatchingEngine:
         p["state"] = step(self.params, toks_c,
                           jnp.int32(p["c0"]), p["tl"], p["state"])
         p["c0"] += Sc
+        self.prefill_chunks_executed += 1
+        if p["snap_at"] and p["c0"] == p["snap_at"]:
+            # free snapshot: the state arrays are immutable; later chunks
+            # build NEW arrays, so holding this reference costs nothing
+            # beyond keeping the buffers alive
+            key = (p["bucket"], tuple(p["prompt"][:p["snap_at"]]))
+            self._prefix_states[key] = p["state"]
         # prompt rows all written once c0 passes tl (the rest of the bucket
         # is right-padding — no need to run inert chunks over it)
         if p["c0"] < int(p["tl"][0]):

@@ -248,3 +248,65 @@ def test_chunked_prefill_kernel_path_matches_xla(setup):
                                np.asarray(ref.cache.k), rtol=2e-4, atol=2e-4)
     np.testing.assert_array_equal(np.asarray(got.cache.lengths),
                                   np.asarray(ref.cache.lengths))
+
+
+def test_prefix_cache_resume_matches_and_skips_chunks():
+    """Registered shared prefixes snapshot their chunk state once and later
+    admissions resume from it: identical outputs, fewer chunks executed."""
+    from kvcache_factory_tpu.config import EngineConfig
+    from kvcache_factory_tpu.runtime.batching import ContinuousBatchingEngine
+
+    cfg = ModelConfig(model_type="llama", vocab_size=128, hidden_size=128,
+                      intermediate_size=256, num_hidden_layers=2,
+                      num_attention_heads=8, num_key_value_heads=4,
+                      head_dim=16, max_position_embeddings=512,
+                      dtype="float32")
+    params = init_params(cfg, jax.random.PRNGKey(7), dtype=jnp.float32)
+    comp = CompressionConfig(method="snapkv", max_capacity_prompt=32,
+                             window_size=8, kernel_size=7, pooling="maxpool")
+    ecfg = EngineConfig(model=cfg, compression=comp, prefill_buckets=(128,))
+    rng = np.random.default_rng(13)
+    system = rng.integers(0, 128, size=70).tolist()  # 2 chunks of 32 cached
+    prompts = [system + rng.integers(0, 128, size=n).tolist()
+               for n in (40, 50, 45)]
+    max_new = 5
+
+    def drain(register):
+        # n_slots=1 serializes admissions so the snapshot exists before the
+        # later prompts admit (with concurrent slots, a prompt admitted in
+        # the same scheduler round as the snapshotting one misses — by
+        # design: the cache never blocks admission)
+        eng = ContinuousBatchingEngine(params, ecfg, n_slots=1,
+                                       max_new_cap=max_new,
+                                       prefill_chunk_tokens=32)
+        if register:
+            eng.cache_prefix(system)
+        rids = [eng.submit(p, max_new) for p in prompts]
+        out = eng.run()
+        return [out[r] for r in rids], eng.prefill_chunks_executed
+
+    plain, n_plain = drain(register=False)
+    cached, n_cached = drain(register=True)
+    assert cached == plain
+    # the 64-token (2-chunk) prefix is skipped for the 2nd and 3rd prompts
+    assert n_cached <= n_plain - 4, (n_cached, n_plain)
+
+
+def test_prefix_cache_requires_chunked_admission():
+    from kvcache_factory_tpu.config import EngineConfig
+    from kvcache_factory_tpu.runtime.batching import ContinuousBatchingEngine
+
+    cfg = ModelConfig(model_type="llama", vocab_size=128, hidden_size=128,
+                      intermediate_size=256, num_hidden_layers=2,
+                      num_attention_heads=8, num_key_value_heads=4,
+                      head_dim=16, max_position_embeddings=512,
+                      dtype="float32")
+    params = init_params(cfg, jax.random.PRNGKey(7), dtype=jnp.float32)
+    ecfg = EngineConfig(
+        model=cfg,
+        compression=CompressionConfig(method="snapkv",
+                                      max_capacity_prompt=32, window_size=8),
+        prefill_buckets=(128,))
+    eng = ContinuousBatchingEngine(params, ecfg)
+    with pytest.raises(ValueError):
+        eng.cache_prefix([1, 2, 3])
