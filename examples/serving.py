@@ -31,6 +31,17 @@ def main():
     ap.add_argument("--n_slots", type=int, default=4)
     ap.add_argument("--n_requests", type=int, default=10)
     ap.add_argument("--max_new", type=int, default=24)
+    ap.add_argument("--prefill_chunk", type=int, default=0,
+                    help=">0: chunked admission — prefill interleaves with "
+                         "decode in chunks of this many tokens, bounding "
+                         "the stall a long prompt inflicts on running "
+                         "streams (must divide the prefill buckets)")
+    ap.add_argument("--system_prompt_tokens", type=int, default=0,
+                    help=">0: prepend a shared synthetic system prompt of "
+                         "this many tokens to every request and register "
+                         "it with cache_prefix() — its chunks prefill once "
+                         "and later admissions resume past it (requires "
+                         "--prefill_chunk)")
     args = ap.parse_args()
 
     import jax
@@ -54,14 +65,21 @@ def main():
     ecfg = EngineConfig(model=model_cfg, compression=comp,
                         prefill_buckets=(128, 256, 512))
 
-    engine = ContinuousBatchingEngine(params, ecfg, n_slots=args.n_slots,
-                                      max_new_cap=args.max_new)
+    engine = ContinuousBatchingEngine(
+        params, ecfg, n_slots=args.n_slots, max_new_cap=args.max_new,
+        prefill_chunk_tokens=args.prefill_chunk)
     rng = np.random.default_rng(0)
+    system = []
+    if args.system_prompt_tokens:
+        system = rng.integers(0, model_cfg.vocab_size,
+                              size=args.system_prompt_tokens).tolist()
+        engine.cache_prefix(system)
     t0 = time.perf_counter()
     rids = []
     for i in range(args.n_requests):
         n = int(rng.integers(30, 400))
-        prompt = rng.integers(0, model_cfg.vocab_size, size=n).tolist()
+        prompt = system + rng.integers(0, model_cfg.vocab_size,
+                                       size=n).tolist()
         rid = engine.submit(prompt, args.max_new)
         rids.append((rid, n))
         print(f"submitted request {rid}: prompt {n} tokens")
@@ -72,9 +90,11 @@ def main():
     for rid, n in rids:
         print(f"request {rid} (prompt {n:4d}): {len(outputs[rid])} tokens -> "
               f"{outputs[rid][:8]}...")
+    extra = (f", {engine.prefill_chunks_executed} prefill chunks"
+             if args.prefill_chunk else "")
     print(f"\n{len(outputs)} requests, {total} tokens in {dt:.2f}s "
-          f"({total / dt:.1f} tok/s aggregate) with {args.n_slots} slots; "
-          f"scheduler stats: {engine.scheduler.stats()}")
+          f"({total / dt:.1f} tok/s aggregate) with {args.n_slots} slots"
+          f"{extra}; scheduler stats: {engine.scheduler.stats()}")
 
 
 if __name__ == "__main__":
