@@ -116,7 +116,10 @@ class ContinuousBatchingEngine:
         # from the resumed chunks (resume point is capped at
         # true_len - max(window, 32) so every window row is recomputed).
         self._prefixes: List[List[int]] = []
+        # snapshot states are bucket-sized KV buffers — keep a small LRU
+        # (a 4k-bucket flagship entry is ~370 MB; default 4 entries)
         self._prefix_states: Dict[tuple, tuple] = {}
+        self._prefix_cache_entries = 4
         self.prefill_chunks_executed = 0
         self.eos = tuple(eos_token_ids)
         self.head_capacity = (None if head_capacity is None
@@ -210,8 +213,10 @@ class ContinuousBatchingEngine:
         state = None
         snap_at = self._prefix_resume_point(prompt)
         if snap_at:
-            hit = self._prefix_states.get((bucket, tuple(prompt[:snap_at])))
+            key = (bucket, tuple(prompt[:snap_at]))
+            hit = self._prefix_states.get(key)
             if hit is not None:
+                self._prefix_states[key] = self._prefix_states.pop(key)  # LRU
                 c0, state = snap_at, hit
         if state is None:
             state = init_chunked_state(self.cfg.model,
@@ -242,6 +247,8 @@ class ContinuousBatchingEngine:
             # beyond keeping the buffers alive
             key = (p["bucket"], tuple(p["prompt"][:p["snap_at"]]))
             self._prefix_states[key] = p["state"]
+            while len(self._prefix_states) > self._prefix_cache_entries:
+                self._prefix_states.pop(next(iter(self._prefix_states)))
         # prompt rows all written once c0 passes tl (the rest of the bucket
         # is right-padding — no need to run inert chunks over it)
         if p["c0"] < int(p["tl"][0]):
