@@ -76,8 +76,10 @@ def main():
         engine.cache_prefix(system)
     t0 = time.perf_counter()
     rids = []
+    # the shared system prompt eats into the largest bucket's budget
+    body_max = max(30, 512 - len(system) - 1)
     for i in range(args.n_requests):
-        n = int(rng.integers(30, 400))
+        n = int(rng.integers(30, min(400, body_max) + 1))
         prompt = system + rng.integers(0, model_cfg.vocab_size,
                                        size=n).tolist()
         rid = engine.submit(prompt, args.max_new)

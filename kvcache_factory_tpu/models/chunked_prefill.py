@@ -47,7 +47,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from ..config import CompressionConfig, ModelConfig, QuantConfig, dtype_of
-from ..ops.attention import NEG_INF
+from ..ops.attention import blocked_causal_attention
 from ..policies.methods import LayerContext, compress_prefill
 from .llama import (PrefillResult, _merge_heads, _split_heads, apply_rope,
                     build_cache_from_packed, ffn_block, rms_norm,
@@ -67,46 +67,6 @@ def _check_supported(comp: CompressionConfig):
         raise NotImplementedError(
             "chunked prefill computes dense causal attention per chunk; "
             "MInference sparse prefill patterns require the one-shot path.")
-
-
-def _blocked_chunk_attention(q, kbuf, vbuf, c0, true_len, sliding_window,
-                             q_block: int = 512):
-    """Chunk queries [B, Hq, Sc, D] over the full key buffer [B, Hkv, S, D]:
-    causal with global row offset ``c0`` (col <= c0 + row), right-padding and
-    optional sliding-window masks.  q-row blocked — O(q_block * S) logits."""
-    B, Hq, Sc, D = q.shape
-    Hk = kbuf.shape[1]
-    G = Hq // Hk
-    S = kbuf.shape[2]
-    qb = min(q_block, Sc)
-    nb = -(-Sc // qb)
-    Sp = nb * qb
-    if Sp != Sc:
-        q = jnp.pad(q, ((0, 0), (0, 0), (0, Sp - Sc), (0, 0)))
-    qg = q.reshape(B, Hk, G, Sp, D)
-    q_blocks = qg.reshape(B, Hk, G, nb, qb, D).transpose(3, 0, 1, 2, 4, 5)
-    scale = 1.0 / jnp.sqrt(jnp.asarray(D, jnp.float32))
-    cols = lax.broadcasted_iota(jnp.int32, (qb, S), 1)
-
-    def body(_, xs):
-        qblk, bi = xs
-        logits = jnp.einsum("bhgqd,bhkd->bhgqk", qblk, kbuf,
-                            preferred_element_type=jnp.float32) * scale
-        rows_g = c0 + bi * qb + lax.broadcasted_iota(jnp.int32, (qb, S), 0)
-        m = cols <= rows_g
-        if sliding_window is not None:
-            m = m & (cols > rows_g - sliding_window)
-        m = m[None] & (cols[None] < true_len[:, None, None])
-        logits = jnp.where(m[:, None, None], logits, NEG_INF)
-        probs = jax.nn.softmax(logits, axis=-1)
-        out = jnp.einsum("bhgqk,bhkd->bhgqd", probs.astype(vbuf.dtype), vbuf,
-                         preferred_element_type=jnp.float32)
-        return None, out.astype(q.dtype)
-
-    _, outs = lax.scan(body, None,
-                       (q_blocks, jnp.arange(nb, dtype=jnp.int32)))
-    out = outs.transpose(1, 2, 3, 0, 4, 5).reshape(B, Hq, Sp, D)
-    return out[:, :, :Sc]
 
 
 def chunk_step(
@@ -177,8 +137,12 @@ def chunk_step(
                 q, kl, vl, true_len, 0, sliding_window=cfg.sliding_window,
                 row_offset=c0)
         else:
-            attn = _blocked_chunk_attention(q, kl, vl, c0, true_len,
-                                            cfg.sliding_window)
+            # the shared blocked helper with a global row offset (one
+            # implementation of the masked-softmax math, per the repo's
+            # kernel-divergence lesson)
+            attn = blocked_causal_attention(q, kl, vl, true_len,
+                                            cfg.sliding_window,
+                                            row_offset=c0)
         h = _merge_heads(attn) @ lp["o_proj"]
         if "o_bias" in lp:
             h = h + lp["o_bias"]
@@ -237,6 +201,12 @@ def finalize(
     policy_capacity = comp.layer_capacity(L, S)
     assert cache_capacity >= policy_capacity
     think_packed = comp.method == "think" and comp.think_packed
+    if think_packed:
+        # same loud rejection as one-shot prefill: a quant cache built from
+        # the packed KV would silently drop the channel pruning
+        assert quant is None and not comp.decode_evict, \
+            "think_packed composes with neither the quantized cache nor " \
+            "decode_evict"
 
     if rng is None:
         rng = jax.random.PRNGKey(0)

@@ -744,7 +744,8 @@ def decode_step(
                     kc_all, vc_all, sc_all, lens_l, li,
                     k.astype(dtype).reshape(B, cache_heads, D),
                     v.astype(dtype).reshape(B, cache_heads, D),
-                    interpret=pallas_interpret)
+                    interpret=pallas_interpret,
+                    lower=window_lower(lens_l, pos[:, None]))
             lens_all = lax.dynamic_update_index_in_dim(lens_all, lens_l, li, 0)
             x = finish_layer(x, out.reshape(B, Hq, 1, D), lp)
             return (x, kc_all, vc_all, sc_all, lens_all), None
@@ -774,13 +775,16 @@ def decode_step(
             lp, li = scanned
             q, k, v = qkv_rope(x, lp)
             lens_l = lax.dynamic_index_in_dim(lens_all, li, 0, keepdims=False)
+            pos_bh = jnp.broadcast_to(pos[:, None],
+                                      (B, cache_heads)).reshape(BH)
             out, kc_all, vc_all, sc_all, lens_l = \
                 quant_decode_attention_append_stacked(
                     q.reshape(BH, Gq, D).astype(dtype), kc_all, vc_all,
                     sc_all, lens_l, li,
                     k.astype(dtype).reshape(BH, D),
                     v.astype(dtype).reshape(BH, D),
-                    interpret=pallas_interpret)
+                    interpret=pallas_interpret,
+                    lower=window_lower(lens_l, pos_bh))
             lens_all = lax.dynamic_update_index_in_dim(lens_all, lens_l, li, 0)
             x = finish_layer(x, out.reshape(B, Hq, 1, D), lp)
             return (x, kc_all, vc_all, sc_all, lens_all), None
@@ -819,7 +823,8 @@ def decode_step(
                     kc_all, vc_all, sc_all, lens_l, li,
                     k.astype(dtype).reshape(B, cache_heads, D),
                     v.astype(dtype).reshape(B, cache_heads, D),
-                    interpret=pallas_interpret)
+                    interpret=pallas_interpret,
+                    lower=window_lower(lens_l, pos[:, None]))
             lens_all = lax.dynamic_update_index_in_dim(lens_all, lens_l, li, 0)
             x = finish_layer(x, out.reshape(B, Hq, 1, D), lp)
             return (x, kc_all, vc_all, sc_all, lens_all), None
@@ -850,13 +855,16 @@ def decode_step(
             lp, li = scanned
             q, k, v = qkv_rope(x, lp)
             lens_l = lax.dynamic_index_in_dim(lens_all, li, 0, keepdims=False)
+            pos_bh = jnp.broadcast_to(pos[:, None],
+                                      (B, cache_heads)).reshape(BH)
             out, kc_all, vc_all, sc_all, lens_l = \
                 quant4_decode_attention_append_stacked(
                     q.reshape(BH, Gq, D).astype(dtype), kc_all, vc_all,
                     sc_all, lens_l, li,
                     k.astype(dtype).reshape(BH, D),
                     v.astype(dtype).reshape(BH, D),
-                    interpret=pallas_interpret)
+                    interpret=pallas_interpret,
+                    lower=window_lower(lens_l, pos_bh))
             lens_all = lax.dynamic_update_index_in_dim(lens_all, lens_l, li, 0)
             x = finish_layer(x, out.reshape(B, Hq, 1, D), lp)
             return (x, kc_all, vc_all, sc_all, lens_all), None

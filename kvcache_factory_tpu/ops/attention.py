@@ -24,22 +24,32 @@ NEG_INF = float(jnp.finfo(jnp.float32).min)
 
 
 def blocked_causal_attention(
-    q: jnp.ndarray,  # [B, Hq, S, D]
+    q: jnp.ndarray,  # [B, Hq, S_q, D]
     k: jnp.ndarray,  # [B, Hkv, S, D]
     v: jnp.ndarray,  # [B, Hkv, S, D]
     true_len: jnp.ndarray,  # [B]
     sliding_window: Optional[int] = None,
     q_block: int = 512,
+    row_offset=None,  # scalar int32: q row r has global id row_offset + r
 ) -> jnp.ndarray:
-    """Causal (optionally sliding-window) self-attention, q-row blocked."""
-    B, Hq, S, D = q.shape
+    """Causal (optionally sliding-window) self-attention, q-row blocked.
+
+    ``row_offset`` (chunked prefill, models/chunked_prefill.py): q is a
+    chunk of a longer sequence whose keys fill ``k``/``v``; every mask uses
+    the global row ids, so running all chunks reproduces the one-shot
+    attention exactly.  With it unset, q and k share one length S."""
+    B, Hq, S_q, D = q.shape
     Hk = k.shape[1]
+    S = k.shape[2]
     G = Hq // Hk
-    qb = min(q_block, S)
-    n_blocks = (S + qb - 1) // qb
+    if row_offset is None:
+        assert S_q == S, "q/k lengths differ only with row_offset"
+        row_offset = jnp.int32(0)
+    qb = min(q_block, S_q)
+    n_blocks = (S_q + qb - 1) // qb
     S_pad = n_blocks * qb
-    if S_pad != S:
-        q = jnp.pad(q, ((0, 0), (0, 0), (0, S_pad - S), (0, 0)))
+    if S_pad != S_q:
+        q = jnp.pad(q, ((0, 0), (0, 0), (0, S_pad - S_q), (0, 0)))
 
     qg = q.reshape(B, Hk, G, S_pad, D)
     # [nb, B, Hk, G, qb, D] scan layout
@@ -51,7 +61,8 @@ def blocked_causal_attention(
         qblk, bi = qb_and_idx  # [B, Hk, G, qb, D], scalar
         logits = jnp.einsum("bhgqd,bhkd->bhgqk", qblk, k,
                             preferred_element_type=jnp.float32) * scale
-        rows = bi * qb + lax.broadcasted_iota(jnp.int32, (qb, S), 0)
+        rows = (row_offset + bi * qb
+                + lax.broadcasted_iota(jnp.int32, (qb, S), 0))
         m = cols <= rows
         if sliding_window is not None:
             m = m & (cols > rows - sliding_window)
@@ -64,6 +75,6 @@ def blocked_causal_attention(
 
     blk_idx = jnp.arange(n_blocks, dtype=jnp.int32)
     _, outs = lax.scan(body, None, (q_blocks, blk_idx))
-    # [nb, B, Hk, G, qb, D] -> [B, Hq, S, D]
+    # [nb, B, Hk, G, qb, D] -> [B, Hq, S_q, D]
     out = outs.transpose(1, 2, 3, 0, 4, 5).reshape(B, Hq, S_pad, D)
-    return out[:, :, :S]
+    return out[:, :, :S_q]

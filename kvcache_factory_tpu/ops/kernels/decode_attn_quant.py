@@ -41,7 +41,7 @@ appends all four scalars of the new token.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -76,6 +76,7 @@ def _bcast_row(row, G: int):
 def _quant_decode_kernel(C: int, BLK: int, NC: int, G: int, D: int, H: int,
                          lens_ref,              # scalar prefetch [H]
                          lidx_ref,              # scalar prefetch [1]
+                         lower_ref,             # scalar prefetch [H]: window
                          q_ref,                 # VMEM [1, G, D]
                          knew_ref, vnew_ref,    # VMEM [1, 1, D] (bf16/f32)
                          kc_hbm, vc_hbm,        # HBM [Lyr, H, C, D] int8
@@ -92,6 +93,11 @@ def _quant_decode_kernel(C: int, BLK: int, NC: int, G: int, D: int, H: int,
     h = pl.program_id(0)
     li = lidx_ref[0]
     L = jnp.minimum(lens_ref[h], C - 1)
+    # Sliding-window lower bound (0 = dense): same semantics as the bf16
+    # kernel — only identity rows (cache index == absolute position) get it
+    # (decode_mask / mistral_model.py:2511-2535); the just-appended token is
+    # the newest and never masked.
+    lo = lower_ref[h]
 
     def chunk_start_row(cc: int) -> int:
         # Last chunk re-reads the tail window (mask keeps rows >= cc*BLK).
@@ -225,7 +231,7 @@ def _quant_decode_kernel(C: int, BLK: int, NC: int, G: int, D: int, H: int,
         kz_w = _bcast_row(planes[1, sc0:sc0 + BLK], G)
         s = qc * ks_w + qsum * kz_w                       # [G, BLK]
         ids = sc0 + jax.lax.broadcasted_iota(jnp.int32, (G, BLK), 1)
-        s = jnp.where((ids >= c * BLK) & (ids < L), s, NEG_INF)
+        s = jnp.where((ids >= c * BLK) & (ids >= lo) & (ids < L), s, NEG_INF)
 
         m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
         p = jnp.exp(s - m_new)
@@ -267,6 +273,7 @@ def quant_decode_attention_append_stacked(
     k_new: jnp.ndarray,     # [H, D] fp
     v_new: jnp.ndarray,
     interpret: bool = False,
+    lower: Optional[jnp.ndarray] = None,  # [H] int32 window lo bound
 ):
     """Returns (out [H,G,D], k_codes', v_codes', scales', lengths'); layer
     ``layer`` of the stacks updated in place."""
@@ -280,20 +287,22 @@ def quant_decode_attention_append_stacked(
     BLK = min(_round_up(-(-C // NC), TOK_BLK), C)
     kernel = functools.partial(_quant_decode_kernel, C, BLK, NC, G, D, H)
     lidx = jnp.asarray(layer, jnp.int32).reshape(1)
+    if lower is None:
+        lower = jnp.zeros((H,), jnp.int32)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(H,),
         in_specs=[
-            pl.BlockSpec((1, G, D), lambda h, lens, li: (h, 0, 0),
+            pl.BlockSpec((1, G, D), lambda h, *_: (h, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, D), lambda h, lens, li: (h, 0, 0),
+            pl.BlockSpec((1, 1, D), lambda h, *_: (h, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, D), lambda h, lens, li: (h, 0, 0),
+            pl.BlockSpec((1, 1, D), lambda h, *_: (h, 0, 0),
                          memory_space=pltpu.VMEM),
         ] + [pl.BlockSpec(memory_space=pltpu.HBM)] * 3,
         out_specs=[
-            pl.BlockSpec((1, G, D), lambda h, lens, li: (h, 0, 0),
+            pl.BlockSpec((1, G, D), lambda h, *_: (h, 0, 0),
                          memory_space=pltpu.VMEM),
         ] + [pl.BlockSpec(memory_space=pltpu.HBM)] * 3,
         scratch_shapes=[
@@ -318,12 +327,12 @@ def quant_decode_attention_append_stacked(
             jax.ShapeDtypeStruct(v_codes.shape, jnp.int8),
             jax.ShapeDtypeStruct(scales.shape, scales.dtype),
         ],
-        # operand idx (incl. scalar prefetch 0=lens, 1=layer): q=2 kn=3 vn=4
-        # kc=5 vc=6 scales=7
-        input_output_aliases={5: 1, 6: 2, 7: 3},
+        # operand idx (incl. scalar prefetch 0=lens, 1=layer, 2=lower):
+        # q=3 kn=4 vn=5 kc=6 vc=7 scales=8
+        input_output_aliases={6: 1, 7: 2, 8: 3},
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
-    )(lengths, lidx, q, k_new[:, None, :], v_new[:, None, :],
+    )(lengths, lidx, lower, q, k_new[:, None, :], v_new[:, None, :],
       k_codes, v_codes, scales)
 
     out, kc, vc, sc = outs
@@ -341,6 +350,7 @@ def quant_decode_attention_append_stacked_sharded(
     k_new: jnp.ndarray,     # [B, H, D] fp
     v_new: jnp.ndarray,
     interpret: bool = False,
+    lower: Optional[jnp.ndarray] = None,  # [B, H] int32 window lo bound
 ):
     """Multi-device INT8 quant decode (VERDICT round-3 #2): batch shards over
     ``dp``, cache heads over ``tp``; every device runs the single-chip fused
@@ -360,14 +370,17 @@ def quant_decode_attention_append_stacked_sharded(
     assert B % dp == 0 and H % tp == 0, (
         f"batch {B} %% dp {dp} and cache heads {H} %% tp {tp} must be 0")
 
-    def local(q4, kcs, vcs, scs, lens2, li, kn, vn):
+    if lower is None:
+        lower = jnp.zeros((B, H), jnp.int32)
+
+    def local(q4, kcs, vcs, scs, lens2, li, kn, vn, lo2):
         Bl, Hl = q4.shape[0], q4.shape[1]
         BHl = Bl * Hl
         out, kc_o, vc_o, sc_o, lens_o = quant_decode_attention_append_stacked(
             q4.reshape(BHl, G, D), kcs.reshape(Lyr, BHl, C, D),
             vcs.reshape(Lyr, BHl, C, D), scs.reshape(Lyr, BHl, N_PLANES, C),
             lens2.reshape(BHl), li, kn.reshape(BHl, D), vn.reshape(BHl, D),
-            interpret=interpret)
+            interpret=interpret, lower=lo2.reshape(BHl))
         return (out.reshape(Bl, Hl, G, D),
                 kc_o.reshape(Lyr, Bl, Hl, C, D),
                 vc_o.reshape(Lyr, Bl, Hl, C, D),
@@ -378,12 +391,12 @@ def quant_decode_attention_append_stacked_sharded(
         local, mesh=mesh,
         in_specs=(P("dp", "tp"), P(None, "dp", "tp"), P(None, "dp", "tp"),
                   P(None, "dp", "tp"), P("dp", "tp"), P(),
-                  P("dp", "tp"), P("dp", "tp")),
+                  P("dp", "tp"), P("dp", "tp"), P("dp", "tp")),
         out_specs=(P("dp", "tp"), P(None, "dp", "tp"), P(None, "dp", "tp"),
                    P(None, "dp", "tp"), P("dp", "tp")),
         check_vma=False)
     return fn(q, k_codes, v_codes, scales, lengths,
-              jnp.asarray(layer, jnp.int32).reshape(()), k_new, v_new)
+              jnp.asarray(layer, jnp.int32).reshape(()), k_new, v_new, lower)
 
 
 def quant4_decode_attention_append_stacked_sharded(
@@ -397,6 +410,7 @@ def quant4_decode_attention_append_stacked_sharded(
     k_new: jnp.ndarray,     # [B, H, D] fp
     v_new: jnp.ndarray,
     interpret: bool = False,
+    lower: Optional[jnp.ndarray] = None,  # [B, H] int32 window lo bound
 ):
     """INT4 variant of :func:`quant_decode_attention_append_stacked_sharded`
     — the nibble planes tile over (dp, tp) exactly like the int8 codes (the
@@ -411,7 +425,10 @@ def quant4_decode_attention_append_stacked_sharded(
     assert B % dp == 0 and H % tp == 0, (
         f"batch {B} %% dp {dp} and cache heads {H} %% tp {tp} must be 0")
 
-    def local(q4, kcs, vcs, scs, lens2, li, kn, vn):
+    if lower is None:
+        lower = jnp.zeros((B, H), jnp.int32)
+
+    def local(q4, kcs, vcs, scs, lens2, li, kn, vn, lo2):
         Bl, Hl = q4.shape[0], q4.shape[1]
         BHl = Bl * Hl
         out, kc_o, vc_o, sc_o, lens_o = \
@@ -420,7 +437,8 @@ def quant4_decode_attention_append_stacked_sharded(
                 vcs.reshape(Lyr, BHl, C2, D),
                 scs.reshape(Lyr, BHl, N_PLANES, C),
                 lens2.reshape(BHl), li, kn.reshape(BHl, D),
-                vn.reshape(BHl, D), interpret=interpret)
+                vn.reshape(BHl, D), interpret=interpret,
+                lower=lo2.reshape(BHl))
         return (out.reshape(Bl, Hl, G, D),
                 kc_o.reshape(Lyr, Bl, Hl, C2, D),
                 vc_o.reshape(Lyr, Bl, Hl, C2, D),
@@ -431,12 +449,12 @@ def quant4_decode_attention_append_stacked_sharded(
         local, mesh=mesh,
         in_specs=(P("dp", "tp"), P(None, "dp", "tp"), P(None, "dp", "tp"),
                   P(None, "dp", "tp"), P("dp", "tp"), P(),
-                  P("dp", "tp"), P("dp", "tp")),
+                  P("dp", "tp"), P("dp", "tp"), P("dp", "tp")),
         out_specs=(P("dp", "tp"), P(None, "dp", "tp"), P(None, "dp", "tp"),
                    P(None, "dp", "tp"), P("dp", "tp")),
         check_vma=False)
     return fn(q, k_codes, v_codes, scales, lengths,
-              jnp.asarray(layer, jnp.int32).reshape(()), k_new, v_new)
+              jnp.asarray(layer, jnp.int32).reshape(()), k_new, v_new, lower)
 
 
 def quant_decode_attention_append(
@@ -504,6 +522,7 @@ def _round_up(x: int, m: int) -> int:
 def _quant4_decode_kernel(C: int, BLK: int, NC: int, G: int, D: int, H: int,
                           lens_ref,              # scalar prefetch [H]
                           lidx_ref,              # scalar prefetch [1]
+                          lower_ref,             # scalar prefetch [H]: window
                           q_ref,                 # VMEM [1, G, D]
                           knew_ref, vnew_ref,    # VMEM [1, 1, D] (bf16/f32)
                           kc_hbm, vc_hbm,        # HBM [Lyr, H, C2, D] int8
@@ -521,6 +540,7 @@ def _quant4_decode_kernel(C: int, BLK: int, NC: int, G: int, D: int, H: int,
     h = pl.program_id(0)
     li = lidx_ref[0]
     L = jnp.minimum(lens_ref[h], C - 1)
+    lo = lower_ref[h]  # sliding-window lower bound (0 = dense); see int8
 
     def chunk_start_row(cc: int) -> int:
         # Last chunk re-reads the tail byte-row window (mask dedups).
@@ -683,10 +703,12 @@ def _quant4_decode_kernel(C: int, BLK: int, NC: int, G: int, D: int, H: int,
                 + qsum * _bcast_row(planes[1, C2 + sc0:C2 + sc0 + BLK], G)
                 ) * isd
         ids = sc0 + jax.lax.broadcasted_iota(jnp.int32, (G, BLK), 1)
-        # lower bounds dedup the last chunk's tail re-read
-        s_lo = jnp.where((ids >= c * BLK) & (ids < L), s_lo, NEG_INF)
-        s_hi = jnp.where((C2 + ids >= C2 + c * BLK) & (C2 + ids < L),
-                         s_hi, NEG_INF)
+        # lower bounds dedup the last chunk's tail re-read; `lo` is the
+        # sliding-window bound on the GLOBAL token index
+        s_lo = jnp.where((ids >= c * BLK) & (ids >= lo) & (ids < L),
+                         s_lo, NEG_INF)
+        s_hi = jnp.where((C2 + ids >= C2 + c * BLK) & (C2 + ids >= lo)
+                         & (C2 + ids < L), s_hi, NEG_INF)
 
         # One fused online-softmax update for both token blocks.
         m_new = jnp.maximum(m, jnp.maximum(
@@ -751,6 +773,7 @@ def quant4_decode_attention_append_stacked(
     k_new: jnp.ndarray,     # [H, D] fp
     v_new: jnp.ndarray,
     interpret: bool = False,
+    lower: Optional[jnp.ndarray] = None,  # [H] int32 window lo bound
 ):
     """Returns (out [H,G,D], k_codes', v_codes', scales', lengths'); layer
     ``layer`` of the stacks updated in place."""
@@ -765,20 +788,22 @@ def quant4_decode_attention_append_stacked(
     BLK = min(_round_up(-(-C2 // NC), TOK_BLK), C2)
     kernel = functools.partial(_quant4_decode_kernel, C, BLK, NC, G, D, H)
     lidx = jnp.asarray(layer, jnp.int32).reshape(1)
+    if lower is None:
+        lower = jnp.zeros((H,), jnp.int32)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(H,),
         in_specs=[
-            pl.BlockSpec((1, G, D), lambda h, lens, li: (h, 0, 0),
+            pl.BlockSpec((1, G, D), lambda h, *_: (h, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, D), lambda h, lens, li: (h, 0, 0),
+            pl.BlockSpec((1, 1, D), lambda h, *_: (h, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, D), lambda h, lens, li: (h, 0, 0),
+            pl.BlockSpec((1, 1, D), lambda h, *_: (h, 0, 0),
                          memory_space=pltpu.VMEM),
         ] + [pl.BlockSpec(memory_space=pltpu.HBM)] * 3,
         out_specs=[
-            pl.BlockSpec((1, G, D), lambda h, lens, li: (h, 0, 0),
+            pl.BlockSpec((1, G, D), lambda h, *_: (h, 0, 0),
                          memory_space=pltpu.VMEM),
         ] + [pl.BlockSpec(memory_space=pltpu.HBM)] * 3,
         scratch_shapes=[
@@ -803,12 +828,12 @@ def quant4_decode_attention_append_stacked(
             jax.ShapeDtypeStruct(v_codes.shape, jnp.int8),
             jax.ShapeDtypeStruct(scales.shape, scales.dtype),
         ],
-        # operand idx (incl. scalar prefetch 0=lens, 1=layer): q=2 kn=3 vn=4
-        # kc=5 vc=6 scales=7
-        input_output_aliases={5: 1, 6: 2, 7: 3},
+        # operand idx (incl. scalar prefetch 0=lens, 1=layer, 2=lower):
+        # q=3 kn=4 vn=5 kc=6 vc=7 scales=8
+        input_output_aliases={6: 1, 7: 2, 8: 3},
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
-    )(lengths, lidx, q, k_new[:, None, :], v_new[:, None, :],
+    )(lengths, lidx, lower, q, k_new[:, None, :], v_new[:, None, :],
       k_codes, v_codes, scales)
 
     out, kc, vc, sc = outs

@@ -99,6 +99,16 @@ class ContinuousBatchingEngine:
         if prefill_chunk_tokens:
             from ..models.chunked_prefill import _check_supported
             _check_supported(cfg.compression)
+            sh0 = cfg.sharding
+            if sh0.dp * sh0.tp * sh0.ep > 1:
+                # chunk_step is jitted without the mesh; its pallas path
+                # cannot be GSPMD-partitioned (same constraint the one-shot
+                # admission routes around via attn_backend/mesh) — reject
+                # loudly rather than fail at first admission compile
+                raise ValueError(
+                    "chunked admission (prefill_chunk_tokens) does not yet "
+                    "compose with a device mesh; use one-shot admission "
+                    "under dp/tp/ep")
             bad = [b for b in cfg.prefill_buckets
                    if b % prefill_chunk_tokens]
             if bad:
@@ -224,6 +234,7 @@ class ContinuousBatchingEngine:
         return {
             "toks": jnp.asarray(toks),
             "tl": jnp.asarray([len(prompt)], jnp.int32),
+            "n": len(prompt),  # host copy: no per-chunk device readback
             "c0": c0,
             "bucket": bucket,
             "state": state,
@@ -249,9 +260,12 @@ class ContinuousBatchingEngine:
             self._prefix_states[key] = p["state"]
             while len(self._prefix_states) > self._prefix_cache_entries:
                 self._prefix_states.pop(next(iter(self._prefix_states)))
-        # prompt rows all written once c0 passes tl (the rest of the bucket
-        # is right-padding — no need to run inert chunks over it)
-        if p["c0"] < int(p["tl"][0]):
+        # prompt rows all written once c0 passes the prompt length (the rest
+        # of the bucket is right-padding — no need to run inert chunks over
+        # it).  Host-side compare: a device readback here would cost the
+        # ~25-40 ms tunnel round trip PER CHUNK — comparable to the chunk
+        # itself — and stall the async dispatch interleaving exists for.
+        if p["c0"] < p["n"]:
             return None
         res = final(self.params, p["state"], p["tl"])
         first = jnp.argmax(res.logits_last, axis=-1).astype(jnp.int32)

@@ -278,3 +278,125 @@ def test_prefill_fullkv_flash_vs_xla():
     np.testing.assert_allclose(np.asarray(got.logits_last),
                                np.asarray(ref.logits_last),
                                rtol=2e-4, atol=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# Quant decode kernels: sliding-window lower bound (round-4 review finding —
+# the quant paths previously applied no window masking, unlike every other
+# decode path)
+# ---------------------------------------------------------------------------
+
+def test_quant8_kernel_window_lower_matches_oracle():
+    from kvcache_factory_tpu.ops.kernels.decode_attn_quant import (
+        quant_decode_attention_append_stacked)
+    H, G, C = 4, 2, 256
+    rng = np.random.default_rng(61)
+    q = rng.normal(size=(H, G, D)).astype(np.float32)
+    codes_k = rng.integers(-128, 128, size=(1, H, C, D)).astype(np.int8)
+    codes_v = rng.integers(-128, 128, size=(1, H, C, D)).astype(np.int8)
+    scales = rng.uniform(0.01, 0.05, size=(1, H, 4, C)).astype(np.float32)
+    k_new = rng.normal(size=(H, D)).astype(np.float32)
+    v_new = rng.normal(size=(H, D)).astype(np.float32)
+    lens = np.asarray([C - 8, 100, 40, 7], np.int32)
+    window = 24
+    lower = np.maximum(lens + 1 - window, 0).astype(np.int32)
+
+    out, *_ = quant_decode_attention_append_stacked(
+        jnp.asarray(q), jnp.asarray(codes_k)[...], jnp.asarray(codes_v),
+        jnp.asarray(scales, jnp.bfloat16), jnp.asarray(lens),
+        jnp.zeros((1,), jnp.int32), jnp.asarray(k_new), jnp.asarray(v_new),
+        interpret=True, lower=jnp.asarray(lower))
+
+    # oracle: dequantize (bf16 scales, matching the kernel's storage), then
+    # windowed fp attention over [lower, lens) + the new token
+    sc = np.asarray(jnp.asarray(scales, jnp.bfloat16), np.float32)
+    exp = np.zeros((H, G, D), np.float32)
+    for h in range(H):
+        L = min(int(lens[h]), C - 1)
+        lo = int(lower[h])
+        kdh = (codes_k[0, h].astype(np.float32) + 128.0) \
+            * sc[0, h, 0][:, None] + sc[0, h, 1][:, None]
+        vdh = (codes_v[0, h].astype(np.float32) + 128.0) \
+            * sc[0, h, 2][:, None] + sc[0, h, 3][:, None]
+        kk = np.concatenate([kdh[lo:L], k_new[h:h + 1]], 0)
+        vv = np.concatenate([vdh[lo:L], v_new[h:h + 1]], 0)
+        s = (q[h] @ kk.T) / np.sqrt(D)
+        p = np.exp(s - s.max(-1, keepdims=True))
+        p /= p.sum(-1, keepdims=True)
+        exp[h] = p @ vv
+    np.testing.assert_allclose(np.asarray(out, np.float32), exp,
+                               rtol=2e-2, atol=2e-2)
+    # the window actually bites: dense (lower=0) must differ
+    dense, *_ = quant_decode_attention_append_stacked(
+        jnp.asarray(q), jnp.asarray(codes_k), jnp.asarray(codes_v),
+        jnp.asarray(scales, jnp.bfloat16), jnp.asarray(lens),
+        jnp.zeros((1,), jnp.int32), jnp.asarray(k_new), jnp.asarray(v_new),
+        interpret=True)
+    assert np.abs(np.asarray(dense) - np.asarray(out)).max() > 1e-3
+
+
+def test_quant4_kernel_window_lower_matches_dense_equiv():
+    """int4: lower covering nothing == dense; lower excluding the low-nibble
+    block entirely must change the result (both nibble planes masked)."""
+    from kvcache_factory_tpu.ops.kernels.decode_attn_quant import (
+        quant4_decode_attention_append_stacked)
+    H, G, C = 2, 2, 256
+    C2 = C // 2
+    rng = np.random.default_rng(67)
+    q = jnp.asarray(rng.normal(size=(H, G, D)), jnp.float32)
+    kc = jnp.asarray(rng.integers(-128, 128, size=(1, H, C2, D)), jnp.int8)
+    vc = jnp.asarray(rng.integers(-128, 128, size=(1, H, C2, D)), jnp.int8)
+    sc = jnp.asarray(rng.uniform(0.05, 0.2, size=(1, H, 4, C)), jnp.bfloat16)
+    kn = jnp.asarray(rng.normal(size=(H, D)), jnp.float32)
+    vn = jnp.asarray(rng.normal(size=(H, D)), jnp.float32)
+    lens = jnp.asarray([C - 8, 200], jnp.int32)
+    args = (q, kc, vc, sc, lens, jnp.zeros((1,), jnp.int32), kn, vn)
+
+    dense, *_ = quant4_decode_attention_append_stacked(
+        *args, interpret=True)
+    zeros, *_ = quant4_decode_attention_append_stacked(
+        *args, interpret=True, lower=jnp.zeros((H,), jnp.int32))
+    np.testing.assert_array_equal(np.asarray(dense), np.asarray(zeros))
+
+    # lower past C2 masks the whole low-nibble token block AND part of the
+    # high block — both planes' masks must respond
+    lower = jnp.asarray([C2 + 16, 150], jnp.int32)
+    win, *_ = quant4_decode_attention_append_stacked(
+        *args, interpret=True, lower=lower)
+    assert np.abs(np.asarray(win) - np.asarray(dense)).max() > 1e-3
+
+
+def test_mistral_quant_decode_window_bites(mistral_setup):
+    """decode_step with a QuantKVCacheTPU cache under a sliding-window
+    config: identity rows must be window-masked (previously silently
+    unmasked).  Teacher-forced; windowed != dense, and sharded == unsharded
+    bit-wise."""
+    import dataclasses
+    from kvcache_factory_tpu.cache.quant_cache import from_packed_prefill_tpu
+    from kvcache_factory_tpu.config import QuantConfig, ShardingConfig
+    from kvcache_factory_tpu.parallel.mesh import make_mesh
+
+    cfg, params, toks, tl = mistral_setup  # sliding_window=24
+    L, B, H, C, Dh = 2, 2, 2, 128, 128
+    rng = np.random.default_rng(71)
+    k = jnp.asarray(rng.normal(size=(L, B, H, C, Dh)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(L, B, H, C, Dh)), jnp.float32)
+    # identity rows: lens == pos (cache index == absolute position)
+    lens0 = jnp.full((L, B, H), 64, jnp.int32)
+    pos0 = jnp.full((B,), 64, jnp.int32)
+    qcache = from_packed_prefill_tpu(k, v, lens0, pos0)
+    qcfg = QuantConfig(nbits=8)
+    tok = jnp.asarray([3, 5], jnp.int32)
+
+    lg_w, _ = llama.decode_step(params, cfg, tok, qcache, quant=qcfg,
+                                pallas_interpret=True)
+    cfg_dense = dataclasses.replace(cfg, sliding_window=None)
+    lg_d, _ = llama.decode_step(params, cfg_dense, tok, qcache, quant=qcfg,
+                                pallas_interpret=True)
+    assert np.abs(np.asarray(lg_w) - np.asarray(lg_d)).max() > 1e-3
+
+    mesh = make_mesh(ShardingConfig(dp=2, tp=1))
+    lg_s, _ = llama.decode_step(params, cfg, tok, qcache, quant=qcfg,
+                                mesh=mesh, pallas_interpret=True)
+    np.testing.assert_allclose(np.asarray(lg_s), np.asarray(lg_w),
+                               rtol=1e-5, atol=1e-5)
