@@ -77,7 +77,11 @@ def main():
     t0 = time.perf_counter()
     rids = []
     # the shared system prompt eats into the largest bucket's budget
-    body_max = max(30, 512 - len(system) - 1)
+    bucket_max = max(ecfg.prefill_buckets)
+    if len(system) + 30 >= bucket_max:
+        ap.error(f"--system_prompt_tokens {len(system)} leaves no room in "
+                 f"the largest prefill bucket ({bucket_max})")
+    body_max = bucket_max - len(system) - 1
     for i in range(args.n_requests):
         n = int(rng.integers(30, min(400, body_max) + 1))
         prompt = system + rng.integers(0, model_cfg.vocab_size,

@@ -365,6 +365,31 @@ def test_quant4_kernel_window_lower_matches_dense_equiv():
         *args, interpret=True, lower=lower)
     assert np.abs(np.asarray(win) - np.asarray(dense)).max() > 1e-3
 
+    # INDEPENDENT numpy dequant oracle (repo convention: never only a
+    # sibling/dense comparison — a wrong window offset on one nibble plane
+    # would pass both checks above)
+    kc_np, vc_np = np.asarray(kc), np.asarray(vc)
+    sc_np = np.asarray(sc, np.float32)
+    q_np, kn_np, vn_np = np.asarray(q), np.asarray(kn), np.asarray(vn)
+    lens_np, lower_np = np.asarray(lens), np.asarray(lower)
+    for h in range(H):
+        L = min(int(lens_np[h]), C - 1)
+        lo = int(lower_np[h])
+        raw = kc_np[0, h].astype(np.int32) + 128           # [C2, D] bytes
+        k_tok = np.concatenate([raw & 0xF, raw >> 4], 0)   # [C, D] nibbles
+        rawv = vc_np[0, h].astype(np.int32) + 128
+        v_tok = np.concatenate([rawv & 0xF, rawv >> 4], 0)
+        kd = k_tok * sc_np[0, h, 0][:, None] + sc_np[0, h, 1][:, None]
+        vd = v_tok * sc_np[0, h, 2][:, None] + sc_np[0, h, 3][:, None]
+        idx = [j for j in range(L) if j >= lo]
+        kk = np.concatenate([kd[idx], kn_np[h:h + 1]], 0)
+        vv = np.concatenate([vd[idx], vn_np[h:h + 1]], 0)
+        s = (q_np[h] @ kk.T) / np.sqrt(D)
+        pbs = np.exp(s - s.max(-1, keepdims=True))
+        pbs /= pbs.sum(-1, keepdims=True)
+        np.testing.assert_allclose(np.asarray(win, np.float32)[h], pbs @ vv,
+                                   rtol=3e-2, atol=3e-2)
+
 
 def test_mistral_quant_decode_window_bites(mistral_setup):
     """decode_step with a QuantKVCacheTPU cache under a sliding-window
