@@ -191,8 +191,14 @@ def finalize(
 
     The trailing-query store is scattered into a zeros-elsewhere full-shape
     q at rows [true_len - WK, true_len) — bitwise the rows the policies
-    read (module docstring).  For prompts shorter than WK the placement is
-    partial, which only the no-compress branch can see (and it ignores q)."""
+    read (module docstring).  Prompts shorter than WK fill only the last
+    ``true_len`` slots of the store (slot j holds global row
+    true_len - WK + j, so slots j < WK - true_len have no source row); the
+    roll below shifts the valid tail to row 0 so every stored row lands at
+    its global position.  Compression CAN fire for such prompts (any config
+    with max_capacity_prompt < WK), so the placement must be exact — a
+    straight dynamic_update_slice at row 0 shifted every row by
+    WK - true_len (round-4 advisor finding)."""
     L, B, Hkv, S, D = kbuf.shape
     Hq = cfg.num_attention_heads
     WK = qwin.shape[3]
@@ -216,13 +222,19 @@ def finalize(
 
     start = jnp.where(true_len >= WK, true_len - WK, 0)  # [B]
 
-    def place(qw, st):  # [Hq, WK, D], scalar -> [Hq, S, D]
+    def place(qw, st, tl):  # [Hq, WK, D], scalar, scalar -> [Hq, S, D]
+        # tl < WK: slots [WK - tl, WK) hold rows [0, tl); roll them to the
+        # front so the update at row 0 places each row at its global id.
+        # The wrapped (sourceless, zero) slots land at rows >= tl, which no
+        # policy reads (window slices end at tl; h2o masks rows >= tl).
+        qw = jnp.roll(qw, jnp.minimum(tl, WK) - WK, axis=1)
         return lax.dynamic_update_slice(
             jnp.zeros((Hq, S, D), qw.dtype), qw, (0, st, 0))
 
     def per_layer(_, inp):
         kl, vl, qw_l, li, hcl, key = inp
-        q_sub = jax.vmap(place)(qw_l, start)  # [B, Hq, S, D]
+        q_sub = jax.vmap(place, in_axes=(0, 0, 0))(
+            qw_l, start, true_len)  # [B, Hq, S, D]
         ctx = LayerContext(li, hcl if comp.method == "headkv" else None,
                            key if comp.method in ("cam", "random") else None,
                            None)

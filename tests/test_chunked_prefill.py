@@ -103,6 +103,33 @@ def test_chunk_size_invariance(setup, chunk):
                                   np.asarray(base.cache.lengths))
 
 
+def test_short_prompt_compression_matches_oneshot(setup):
+    """Prompts shorter than the trailing-query store (WK = max(window, 32))
+    but longer than max_capacity_prompt DO compress; the store placement
+    must put every row at its global position (round-4 advisor finding: a
+    straight row-0 update shifted rows by WK - true_len, silently corrupting
+    the compressed cache for prompt lengths in (capacity, 32))."""
+    cfg, params, _, _ = setup
+    toks = jnp.asarray(np.random.default_rng(11).integers(0, 128, (2, 64)),
+                       jnp.int32)
+    tl = jnp.asarray([20, 27], jnp.int32)  # < WK=32, > cap=12
+    comp = CompressionConfig(method="snapkv", max_capacity_prompt=12,
+                             window_size=8, kernel_size=7, pooling="maxpool")
+    ref = llama.prefill(params, cfg, comp, toks, tl, cache_capacity=64,
+                        attn_backend="xla")
+    got = prefill_chunked(params, cfg, comp, toks, tl, cache_capacity=64,
+                          chunk_size=32)
+    np.testing.assert_array_equal(np.asarray(got.cache.lengths),
+                                  np.asarray(ref.cache.lengths))
+    np.testing.assert_allclose(np.asarray(got.cache.k),
+                               np.asarray(ref.cache.k), rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(got.cache.v),
+                               np.asarray(ref.cache.v), rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(got.logits_last),
+                               np.asarray(ref.logits_last),
+                               rtol=2e-5, atol=2e-5)
+
+
 def test_chunked_quant_cache(setup):
     """finalize builds the quantized cache via the shared tail."""
     cfg, params, toks, tl = setup
