@@ -42,6 +42,11 @@ def main():
                          "it with cache_prefix() — its chunks prefill once "
                          "and later admissions resume past it (requires "
                          "--prefill_chunk)")
+    ap.add_argument("--prefix_cache_gb", type=float, default=1.5,
+                    help="byte budget for prefix-state snapshots (each is a "
+                         "bucket-sized full-layer KV buffer: ~370 MB at a "
+                         "4k flagship bucket, ~1.5 GB at 32k); oldest "
+                         "snapshots evict first when over budget")
     args = ap.parse_args()
 
     import jax
@@ -67,7 +72,8 @@ def main():
 
     engine = ContinuousBatchingEngine(
         params, ecfg, n_slots=args.n_slots, max_new_cap=args.max_new,
-        prefill_chunk_tokens=args.prefill_chunk)
+        prefill_chunk_tokens=args.prefill_chunk,
+        prefix_cache_bytes=int(args.prefix_cache_gb * 2**30))
     rng = np.random.default_rng(0)
     system = []
     if args.system_prompt_tokens:

@@ -83,7 +83,8 @@ class ContinuousBatchingEngine:
                  eos_token_ids: Sequence[int] = (),
                  head_capacity=None, rng=None,
                  chunk_size: int = 16,
-                 prefill_chunk_tokens: int = 0):
+                 prefill_chunk_tokens: int = 0,
+                 prefix_cache_bytes: int = 3 * 2**29):
         if cfg.compression.method == "headkv" and head_capacity is None:
             raise ValueError("headkv requires head_capacity (as in "
                              "InferenceEngine)")
@@ -126,10 +127,17 @@ class ContinuousBatchingEngine:
         # from the resumed chunks (resume point is capped at
         # true_len - max(window, 32) so every window row is recomputed).
         self._prefixes: List[List[int]] = []
-        # snapshot states are bucket-sized KV buffers — keep a small LRU
-        # (a 4k-bucket flagship entry is ~370 MB; default 4 entries)
+        # Snapshot states are bucket-sized full-layer KV buffers (~370 MB
+        # per 4k-bucket flagship entry, ~1.5 GB at a 32k bucket), so the LRU
+        # is bounded in BYTES, not entries (round-4 verdict: an entry cap
+        # silently pinned ~6 GB at large buckets).  ``prefix_cache_bytes``
+        # (constructor arg, default 1.5 GiB) is the sum of leaf nbytes
+        # across live snapshots; insertion evicts oldest-first until under
+        # budget — a snapshot alone over budget is simply never retained.
+        # Registrations themselves (``cache_prefix``) are a few ints each
+        # and are permanent for the engine's lifetime.
         self._prefix_states: Dict[tuple, tuple] = {}
-        self._prefix_cache_entries = 4
+        self._prefix_cache_bytes = int(prefix_cache_bytes)
         self.prefill_chunks_executed = 0
         self.eos = tuple(eos_token_ids)
         self.head_capacity = (None if head_capacity is None
@@ -190,6 +198,12 @@ class ContinuousBatchingEngine:
                                           rng=rng, head_capacity=hc,
                                           quant=quant))
         return self._chunk_jit, self._final_jit
+
+    def _prefix_state_bytes(self) -> int:
+        """Total device bytes pinned by live prefix snapshots."""
+        return sum(x.nbytes
+                   for st in self._prefix_states.values()
+                   for x in jax.tree.leaves(st))
 
     def cache_prefix(self, prefix_ids: Sequence[int]) -> None:
         """Register a shared prompt prefix (system prompt) for prefix
@@ -258,7 +272,8 @@ class ContinuousBatchingEngine:
             # beyond keeping the buffers alive
             key = (p["bucket"], tuple(p["prompt"][:p["snap_at"]]))
             self._prefix_states[key] = p["state"]
-            while len(self._prefix_states) > self._prefix_cache_entries:
+            while (self._prefix_states
+                   and self._prefix_state_bytes() > self._prefix_cache_bytes):
                 self._prefix_states.pop(next(iter(self._prefix_states)))
         # prompt rows all written once c0 passes the prompt length (the rest
         # of the bucket is right-padding — no need to run inert chunks over

@@ -319,6 +319,66 @@ def test_prefix_cache_resume_matches_and_skips_chunks():
     assert n_cached <= n_plain - 4, (n_cached, n_plain)
 
 
+def test_prefix_cache_byte_budget_evicts_oldest():
+    """The prefix-snapshot LRU is bounded in BYTES: a larger-bucket snapshot
+    evicts smaller ones to stay under budget, and outputs stay correct when
+    an evicted prefix's chunks must re-execute (round-4 verdict: the old
+    4-entry cap pinned ~6 GB of HBM at 32k buckets)."""
+    from kvcache_factory_tpu.config import EngineConfig
+    from kvcache_factory_tpu.runtime.batching import ContinuousBatchingEngine
+
+    cfg = ModelConfig(model_type="llama", vocab_size=128, hidden_size=128,
+                      intermediate_size=256, num_hidden_layers=2,
+                      num_attention_heads=8, num_key_value_heads=4,
+                      head_dim=16, max_position_embeddings=512,
+                      dtype="float32")
+    params = init_params(cfg, jax.random.PRNGKey(7), dtype=jnp.float32)
+    comp = CompressionConfig(method="snapkv", max_capacity_prompt=32,
+                             window_size=8, kernel_size=7, pooling="maxpool")
+    ecfg = EngineConfig(model=cfg, compression=comp,
+                        prefill_buckets=(64, 128))
+    rng = np.random.default_rng(17)
+    pref_small = rng.integers(0, 128, size=33).tolist()  # 64-bucket prompts
+    pref_large = rng.integers(0, 128, size=70).tolist()  # 128-bucket prompts
+
+    def snap_bytes(bucket):
+        # state = kbuf + vbuf ([L, 1, Hkv, S, D] fp32 each) + qwin + x_last
+        kv = 2 * 2 * 1 * 4 * bucket * 16 * 4
+        return kv + 2 * 1 * 8 * 32 * 16 * 4 + 128 * 4
+
+    # budget admits the small snapshot OR the large one, never both
+    eng = ContinuousBatchingEngine(
+        params, ecfg, n_slots=1, max_new_cap=4, prefill_chunk_tokens=32,
+        prefix_cache_bytes=snap_bytes(128) + snap_bytes(64) // 2)
+    eng.cache_prefix(pref_small)
+    eng.cache_prefix(pref_large)
+
+    # tails are >= 31 tokens so the resume-point cap (true_len - 32) stays
+    # past the first chunk boundary and snapshots actually get taken
+    eng.submit(pref_small + rng.integers(0, 128, size=31).tolist(), 4)
+    eng.run()
+    assert len(eng._prefix_states) == 1  # small snapshot cached
+
+    eng.submit(pref_large + rng.integers(0, 128, size=20).tolist(), 4)
+    eng.run()
+    # the large-bucket snapshot evicted the small one to stay under budget
+    assert len(eng._prefix_states) == 1
+    ((bucket, _),) = eng._prefix_states.keys()
+    assert bucket == 128
+    assert eng._prefix_state_bytes() <= eng._prefix_cache_bytes
+
+    # evicted prefix re-executes its chunks and still decodes correctly
+    before = eng.prefill_chunks_executed
+    tail = rng.integers(0, 128, size=31).tolist()
+    rid = eng.submit(pref_small + tail, 4)
+    out = eng.run()
+    # both chunks re-ran (a live snapshot would have skipped the first)
+    assert eng.prefill_chunks_executed - before == 2
+    plain = ContinuousBatchingEngine(params, ecfg, n_slots=1, max_new_cap=4)
+    rid_p = plain.submit(pref_small + tail, 4)
+    assert plain.run()[rid_p] == out[rid]
+
+
 def test_prefix_cache_requires_chunked_admission():
     from kvcache_factory_tpu.config import EngineConfig
     from kvcache_factory_tpu.runtime.batching import ContinuousBatchingEngine
