@@ -20,17 +20,34 @@ layer keeps a ``[B, Hq, WK, D]`` rolling store and finalize scatters it
 back into a zeros-elsewhere full-shape ``q`` — bitwise the rows the
 policies read, zeros where they don't look.
 
-Unsupported (loud errors, not silent drift): ``h2o`` (scores over ALL query
-rows — inherently anti-streaming, and its O(n^2) scoring is hostile to the
-long prompts chunking exists for) and ``minference`` sparse prefill (the
-chunk attention here is dense-causal; a sparse chunked pass would compute a
-different function).
+H2O (round 5): the reference's H2O scoring is NOT causal — it applies a
+causal mask only to the trailing window x window block, so every earlier
+query row attends to FUTURE keys (pyramidkv_utils.py:544-554) and each
+row's softmax denominator needs the FULL key buffer.  Streaming per-chunk
+column sums would therefore compute a different (causal) score; exact
+parity requires retaining every query row until finalize.  That is what
+h2o chunked does: the query store becomes a FULL ``[L, B, Hq, S, D]``
+buffer laid out at global row positions (written with the same masked row
+writes as K/V), and finalize hands it to the unchanged one-shot H2O
+scorer.  The cost is memory, not impossibility: + ``L · B · Hq · S · D``
+elements — ~2.9 GB bf16 at 32k for the 1.1B flagship (Hq/Hkv = 4x the
+per-buffer KV cost), on top of the ~1.4 GB of KV below.  Prefix caching
+still composes: a snapshot's full-q store holds the prefix's query rows
+bitwise at their global positions, so resume is exact.
+
+Unsupported (a loud error, not silent drift): ``minference`` sparse
+prefill — the chunk attention here is dense-causal; a sparse chunked pass
+would compute a different function.
 
 Memory note: unlike one-shot prefill (which compresses layer-by-layer
 inside the scan and never holds two layers' uncompressed KV), chunked
 prefill holds ALL layers' uncompressed KV until finalize —
 ``2 · L · B · Hkv · S · D`` elements (~1.4 GB bf16 at 32k for the 1.1B
-flagship).  That is the price of bounded admission stalls.
+flagship; h2o adds the full query store, above).  That is the price of
+bounded admission stalls.  Under a (dp, tp) mesh the buffers shard over
+tp kv-heads (and dp rows when they divide), dividing the per-device cost
+by tp — at the reference's Llama-3-8B geometry (L=32, Hkv=8, D=128) a
+32k-bucket row is ~4.3 GB unsharded but ~1.1 GB/device at tp=4.
 
 Reference citations: prefill/compress semantics match models/llama.py
 ``prefill`` (itself matching llama_model.py:2136-2245); chunk attention is
@@ -53,16 +70,7 @@ from .llama import (PrefillResult, _merge_heads, _split_heads, apply_rope,
                     build_cache_from_packed, ffn_block, rms_norm,
                     rope_inv_freq)
 
-UNSUPPORTED = ("h2o",)
-
-
 def _check_supported(comp: CompressionConfig):
-    if comp.method in UNSUPPORTED:
-        raise NotImplementedError(
-            f"chunked prefill does not support method={comp.method!r}: its "
-            "scores accumulate over ALL query rows, which streaming "
-            "discards.  Use the one-shot prefill, or a window-scored "
-            "method (snapkv/pyramidkv/adakv/headkv) for chunked admission.")
     if comp.sparse_prefill is not None:
         raise NotImplementedError(
             "chunked prefill computes dense causal attention per chunk; "
@@ -73,16 +81,27 @@ def chunk_step(
     params: dict,
     cfg: ModelConfig,
     toks_chunk: jnp.ndarray,  # [B, Sc] int32 (right-padded rows are inert)
-    c0: jnp.ndarray,          # scalar int32: global offset of this chunk
+    c0: jnp.ndarray,          # scalar | [B] int32: global offset per row
     true_len: jnp.ndarray,    # [B] int32 (GLOBAL prompt lengths)
     kbuf: jnp.ndarray,        # [L, B, Hkv, S, D] uncompressed keys so far
     vbuf: jnp.ndarray,
     qwin: jnp.ndarray,        # [L, B, Hq, WK, D] trailing-query store
     x_last: jnp.ndarray,      # [B, hidden] pre-final-norm last-token hidden
+    mesh=None,                # (dp, tp) Mesh: shard the chunk attention
 ):
     """Run one chunk through all layers; returns updated
     (kbuf, vbuf, qwin, x_last).  ``c0`` is traced, so one compiled program
-    serves every chunk of a bucket."""
+    serves every chunk of a bucket; a [B] vector gives every batch row its
+    own prefill depth, so CONCURRENT admissions advance in ONE dispatch
+    (round-4 verdict: the serial per-slot drain paid a full ~30 ms tunnel
+    dispatch per pending admission per loop).  Rows with ``c0 >= true_len``
+    are inert: their buffers, query store, and last-hidden are untouched
+    (free pool rows carry true_len 0).
+
+    ``mesh``: a (dp, tp) device mesh — batch rows shard over dp (when dp
+    divides B; otherwise replicated), heads over tp.  The flash chunk
+    kernel runs per-shard via its shard_map wrapper; the XLA fallback and
+    every matmul partition under GSPMD against the tp-sharded weights."""
     B, Sc = toks_chunk.shape
     L = cfg.num_hidden_layers
     S = kbuf.shape[3]
@@ -90,19 +109,28 @@ def chunk_step(
     WK = qwin.shape[3]
     dtype = dtype_of(cfg)
 
+    c0 = jnp.broadcast_to(jnp.asarray(c0, jnp.int32), (B,))
+    active = c0 < true_len  # [B]
+
     inv_freq = rope_inv_freq(cfg)
-    t = (c0 + jnp.arange(Sc)).astype(jnp.float32)
-    freqs = jnp.outer(t, inv_freq)
+    t = (c0[:, None] + jnp.arange(Sc)[None, :]).astype(jnp.float32)  # [B, Sc]
+    freqs = t[..., None] * inv_freq[None, None, :]
     emb = jnp.concatenate([freqs, freqs], axis=-1)
-    cos, sin = jnp.cos(emb), jnp.sin(emb)  # [Sc, D]
+    cos, sin = jnp.cos(emb), jnp.sin(emb)  # [B, Sc, D]
     use_flash = (jax.default_backend() in ("tpu", "axon") and D % 128 == 0)
 
     # window-store gather indices: target slot j holds global position
     # true_len - WK + j; its row inside THIS chunk is that minus c0.
     src = (true_len[:, None] - WK + jnp.arange(WK)[None, :]
-           - c0)  # [B, WK]
+           - c0[:, None])  # [B, WK]
     src_valid = (src >= 0) & (src < Sc)
     src_c = jnp.clip(src, 0, Sc - 1)
+
+    def write_rows(buf, new):  # [B, H, S, D], [B, H, Sc, D] at row offsets c0
+        def one(b, n, c, act):
+            w = lax.dynamic_update_slice(b, n, (0, c, 0))
+            return jnp.where(act, w, b)
+        return jax.vmap(one)(buf, new, c0, active)
 
     x = params["embed"][toks_chunk].astype(dtype)
 
@@ -121,25 +149,35 @@ def chunk_step(
 
         kl = lax.dynamic_index_in_dim(kbuf, li, 0, keepdims=False)
         vl = lax.dynamic_index_in_dim(vbuf, li, 0, keepdims=False)
-        kl = lax.dynamic_update_slice(kl, k.astype(dtype), (0, 0, c0, 0))
-        vl = lax.dynamic_update_slice(vl, v.astype(dtype), (0, 0, c0, 0))
+        kl = write_rows(kl, k.astype(dtype))
+        vl = write_rows(vl, v.astype(dtype))
         kbuf = lax.dynamic_update_index_in_dim(kbuf, kl, li, 0)
         vbuf = lax.dynamic_update_index_in_dim(vbuf, vl, li, 0)
 
-        if use_flash:
+        if use_flash and mesh is not None:
+            # multi-device chunk attention: the same chunk-mode kernel per
+            # (dp, tp) shard via shard_map (GSPMD cannot partition
+            # pallas_call); row offsets shard over dp with their rows
+            from ..ops.kernels.flash_prefill import \
+                flash_prefill_attention_batched_sharded
+            attn, _ = flash_prefill_attention_batched_sharded(
+                mesh, q, kl, vl, true_len, 0,
+                sliding_window=cfg.sliding_window, row_offset=c0)
+        elif use_flash:
             # chunk mode of the flash kernel: q rows carry global ids
-            # row_offset + r and blocks past each q block's causal frontier
-            # are skipped — all chunks together cost exactly the causal
-            # half, at kernel speed (window=0: no score emission; the
+            # row_offset[b] + r and blocks past each q block's causal
+            # frontier are skipped — all chunks together cost exactly the
+            # causal half, at kernel speed (window=0: no score emission; the
             # trailing-query store covers scoring at finalize)
             from ..ops.kernels import flash_prefill as _fp
             attn, _ = _fp.flash_prefill_attention_batched(
                 q, kl, vl, true_len, 0, sliding_window=cfg.sliding_window,
                 row_offset=c0)
         else:
-            # the shared blocked helper with a global row offset (one
+            # the shared blocked helper with global row offsets (one
             # implementation of the masked-softmax math, per the repo's
-            # kernel-divergence lesson)
+            # kernel-divergence lesson); partitions under GSPMD when the
+            # inputs/weights are mesh-sharded
             attn = blocked_causal_attention(q, kl, vl, true_len,
                                             cfg.sliding_window,
                                             row_offset=c0)
@@ -150,13 +188,19 @@ def chunk_step(
         h2 = rms_norm(x, lp["post_norm"], cfg.rms_norm_eps)
         x = x + ffn_block(h2, lp, cfg)
 
-        # roll the trailing-query store: slots whose source row is in this
-        # chunk take it, others keep their previous value
         qw = lax.dynamic_index_in_dim(qwin, li, 0, keepdims=False)
-        gathered = jnp.take_along_axis(
-            q, src_c[:, None, :, None], axis=2)  # [B, Hq, WK, D]
-        qw = jnp.where(src_valid[:, None, :, None], gathered.astype(qw.dtype),
-                       qw)
+        if WK == S:
+            # full-q store (h2o): rows live at their global positions, so
+            # the update is the same Sc-row masked write as K/V — no
+            # whole-store rewrite per chunk
+            qw = write_rows(qw, q.astype(qw.dtype))
+        else:
+            # roll the trailing-query store: slots whose source row is in
+            # this chunk take it, others keep their previous value
+            gathered = jnp.take_along_axis(
+                q, src_c[:, None, :, None], axis=2)  # [B, Hq, WK, D]
+            qw = jnp.where((src_valid & active[:, None])[:, None, :, None],
+                           gathered.astype(qw.dtype), qw)
         qwin = lax.dynamic_update_index_in_dim(qwin, qw, li, 0)
         return (x, kbuf, vbuf, qwin), None
 
@@ -167,7 +211,7 @@ def chunk_step(
     last_row = true_len - 1 - c0  # [B]
     xl = jnp.take_along_axis(x, jnp.clip(last_row, 0, Sc - 1)[:, None, None],
                              axis=1)[:, 0]
-    in_chunk = (last_row >= 0) & (last_row < Sc)
+    in_chunk = (last_row >= 0) & (last_row < Sc) & active
     x_last = jnp.where(in_chunk[:, None], xl.astype(x_last.dtype), x_last)
     return kbuf, vbuf, qwin, x_last
 
@@ -233,8 +277,12 @@ def finalize(
 
     def per_layer(_, inp):
         kl, vl, qw_l, li, hcl, key = inp
-        q_sub = jax.vmap(place, in_axes=(0, 0, 0))(
-            qw_l, start, true_len)  # [B, Hq, S, D]
+        if WK == S:
+            # full-q store (h2o): rows already at global positions
+            q_sub = qw_l
+        else:
+            q_sub = jax.vmap(place, in_axes=(0, 0, 0))(
+                qw_l, start, true_len)  # [B, Hq, S, D]
         ctx = LayerContext(li, hcl if comp.method == "headkv" else None,
                            key if comp.method in ("cam", "random") else None,
                            None)
@@ -277,11 +325,16 @@ def finalize(
 
 def init_chunked_state(cfg: ModelConfig, comp: CompressionConfig,
                        batch: int, S: int):
-    """Zeroed chunked-prefill carry (kbuf, vbuf, qwin, x_last)."""
+    """Zeroed chunked-prefill carry (kbuf, vbuf, qwin, x_last).
+
+    ``h2o`` sets WK = S: its reference scoring needs every query row
+    (module docstring), so the store becomes a full q buffer laid out at
+    global row positions — +L*B*Hq*S*D elements of memory, the honest cost
+    of exact H2O parity under chunking."""
     L = cfg.num_hidden_layers
     Hq, Hkv, D = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
     dtype = dtype_of(cfg)
-    WK = max(comp.window_size, 32)
+    WK = S if comp.method == "h2o" else min(max(comp.window_size, 32), S)
     return (jnp.zeros((L, batch, Hkv, S, D), dtype),
             jnp.zeros((L, batch, Hkv, S, D), dtype),
             jnp.zeros((L, batch, Hq, WK, D), dtype),

@@ -30,14 +30,16 @@ def blocked_causal_attention(
     true_len: jnp.ndarray,  # [B]
     sliding_window: Optional[int] = None,
     q_block: int = 512,
-    row_offset=None,  # scalar int32: q row r has global id row_offset + r
+    row_offset=None,  # scalar or [B] int32: q row r has global id offset + r
 ) -> jnp.ndarray:
     """Causal (optionally sliding-window) self-attention, q-row blocked.
 
     ``row_offset`` (chunked prefill, models/chunked_prefill.py): q is a
     chunk of a longer sequence whose keys fill ``k``/``v``; every mask uses
     the global row ids, so running all chunks reproduces the one-shot
-    attention exactly.  With it unset, q and k share one length S."""
+    attention exactly.  A [B] vector gives every batch row its own offset
+    (concurrent chunked admissions at different prefill depths share one
+    dispatch).  With it unset, q and k share one length S."""
     B, Hq, S_q, D = q.shape
     Hk = k.shape[1]
     S = k.shape[2]
@@ -45,6 +47,7 @@ def blocked_causal_attention(
     if row_offset is None:
         assert S_q == S, "q/k lengths differ only with row_offset"
         row_offset = jnp.int32(0)
+    row_offset = jnp.broadcast_to(jnp.asarray(row_offset, jnp.int32), (B,))
     qb = min(q_block, S_q)
     n_blocks = (S_q + qb - 1) // qb
     S_pad = n_blocks * qb
@@ -61,12 +64,12 @@ def blocked_causal_attention(
         qblk, bi = qb_and_idx  # [B, Hk, G, qb, D], scalar
         logits = jnp.einsum("bhgqd,bhkd->bhgqk", qblk, k,
                             preferred_element_type=jnp.float32) * scale
-        rows = (row_offset + bi * qb
-                + lax.broadcasted_iota(jnp.int32, (qb, S), 0))
-        m = cols <= rows
+        rows = (row_offset[:, None, None] + bi * qb
+                + lax.broadcasted_iota(jnp.int32, (qb, S), 0)[None])  # [B,qb,S]
+        m = cols[None] <= rows
         if sliding_window is not None:
-            m = m & (cols > rows - sliding_window)
-        m = m[None] & (cols[None] < true_len[:, None, None])  # [B, qb, S]
+            m = m & (cols[None] > rows - sliding_window)
+        m = m & (cols[None] < true_len[:, None, None])  # [B, qb, S]
         logits = jnp.where(m[:, None, None], logits, NEG_INF)
         probs = jax.nn.softmax(logits, axis=-1)
         out = jnp.einsum("bhgqk,bhkd->bhgqd", probs.astype(v.dtype), v,

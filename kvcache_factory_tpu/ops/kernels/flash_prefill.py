@@ -66,7 +66,7 @@ def _flash_kernel(S: int, QB: int, KB: int, D: int, G: int, W: int,
                   use_mask: bool, SW, use_off: bool,
                   *refs):
     if use_mask:
-        # scalar prefetch: [off [1]], tl [B], mask [B, Hq, n_qb, n_kvb] int32
+        # scalar prefetch: [off [B]], tl [B], mask [B, Hq, n_qb, n_kvb] int32
         (tl_ref, mask_ref, q_ref, k_hbm, v_hbm, o_ref, scores_ref,
          k_s, v_s, s_buf, swin_buf, ml_buf, sems) = refs
         off_ref = None
@@ -91,11 +91,13 @@ def _flash_kernel(S: int, QB: int, KB: int, D: int, G: int, W: int,
     win_start = true_len - W
 
     # Chunked-prefill mode (use_off): q rows are a CHUNK of a longer
-    # sequence; their global row ids start at off_ref[0] and K/V span the
-    # full buffer.  Causality/window/kv_hi all use the global ids, so blocks
+    # sequence; their global row ids start at off_ref[b] (per-row on the
+    # scalar-prefetch vector, like true_len — concurrent admissions at
+    # different prefill depths batch into ONE call) and K/V span the full
+    # buffer.  Causality/window/kv_hi all use the global ids, so blocks
     # past the chunk's causal frontier are skipped — total attention over
     # all chunks is exactly the causal half, at kernel speed.
-    row0 = qb * QB + (off_ref[0] if use_off else 0)
+    row0 = qb * QB + (off_ref[b] if use_off else 0)
     # Causal: this q block only needs kv blocks [0, kv_hi).
     kv_hi = lax.min((row0 + QB + KB - 1) // KB, S // KB)
     # Sliding window (Mistral/Qwen2, mistral_model.py:273-288): row r sees
@@ -420,13 +422,15 @@ def flash_prefill_attention_batched(
     sparse_pattern: Optional[Tuple[int, int, int]] = None,
     sparse_head_budgets: Optional[jnp.ndarray] = None,  # [Hq, 2] int32
     sliding_window: Optional[int] = None,
-    row_offset: Optional[jnp.ndarray] = None,  # scalar int32 (chunk mode)
+    row_offset: Optional[jnp.ndarray] = None,  # scalar | [B] int32 (chunk)
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Returns (out [B, Hq, S_q, D], window_scores [B, Hq, S_k] fp32).
 
     Chunk mode (``row_offset`` given): q is a CHUNK [B, Hq, S_q, D] of a
-    longer sequence whose keys fill k/v [B, Hkv, S_k, D]; q row r has
-    global id row_offset + r and attends causally over the buffer.  Blocks
+    longer sequence whose keys fill k/v [B, Hkv, S_k, D]; q row r of batch
+    row b has global id row_offset[b] + r (a scalar offset broadcasts —
+    per-row offsets let concurrent admissions at different prefill depths
+    share one dispatch) and attends causally over the buffer.  Blocks
     past each q block's causal frontier are skipped, so running all chunks
     costs exactly the causal half at kernel speed — the chunked-prefill
     attention (models/chunked_prefill.py).  Score emission and sparse
@@ -503,8 +507,9 @@ def flash_prefill_attention_batched(
     sink_b, local_b, stride = 0, 0, 1
     sparse = use_mask = False
     tl1 = jnp.reshape(true_len.astype(jnp.int32), (B,))
-    scalar_args = ((jnp.reshape(row_offset, (1,)).astype(jnp.int32), tl1)
-                   if use_off else (tl1,))
+    scalar_args = ((jnp.broadcast_to(
+        jnp.asarray(row_offset, jnp.int32).reshape(-1), (B,)), tl1)
+        if use_off else (tl1,))
     if sparse_pattern is not None:
         if sparse_pattern[0] == "vertical_slash":
             _, v_topk, s_topk, last_q = sparse_pattern
@@ -611,6 +616,7 @@ def flash_prefill_attention_batched_sharded(
     true_len: jnp.ndarray,  # [B] int32
     window: int,
     sparse_head_budgets: Optional[jnp.ndarray] = None,  # [Hq, 2] int32
+    row_offset: Optional[jnp.ndarray] = None,  # scalar | [B] int32 (chunk)
     **kw,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Multi-device flash prefill (round 4): batch shards over ``dp``, heads
@@ -623,6 +629,12 @@ def flash_prefill_attention_batched_sharded(
     MInference per-head (vertical, slash) budgets shard over tp with their
     heads (the vertical-slash mask estimation is itself head-local).
 
+    ``row_offset`` (chunk mode, round 5) is an explicit argument rather
+    than a ``**kw`` passthrough because its [B] form must shard over dp
+    WITH its batch rows — a closed-over vector would reach every shard
+    whole.  When dp does not divide B (e.g. a single admission on a dp>1
+    mesh) the batch stays replicated and only heads shard.
+
     This closes the round-3 'kernels at scale' gap for PREFILL: multi-device
     meshes previously always fell back to the blocked XLA path because GSPMD
     cannot auto-partition pallas_call — shard_map hands each device its tile
@@ -633,29 +645,34 @@ def flash_prefill_attention_batched_sharded(
     Hkv = k.shape[1]
     dp = mesh.shape.get("dp", 1)
     tp = mesh.shape.get("tp", 1)
-    assert B % dp == 0 and Hq % tp == 0 and Hkv % tp == 0, (
-        f"B {B} %% dp {dp}, Hq {Hq} %% tp {tp}, Hkv {Hkv} %% tp {tp} "
-        "must all be 0")
+    assert Hq % tp == 0 and Hkv % tp == 0, (
+        f"Hq {Hq} %% tp {tp}, Hkv {Hkv} %% tp {tp} must be 0")
+    b_ax = "dp" if (dp > 1 and B % dp == 0) else None
 
-    if sparse_head_budgets is None:
-        def local(qs, ks, vs, tl):
-            return flash_prefill_attention_batched(qs, ks, vs, tl, window,
-                                                   **kw)
-        in_specs = (P("dp", "tp"), P("dp", "tp"), P("dp", "tp"), P("dp"))
-        args = (q, k, v, true_len.astype(jnp.int32))
-    else:
-        def local(qs, ks, vs, tl, sb):
-            return flash_prefill_attention_batched(
-                qs, ks, vs, tl, window, sparse_head_budgets=sb, **kw)
-        in_specs = (P("dp", "tp"), P("dp", "tp"), P("dp", "tp"), P("dp"),
-                    P("tp", None))
-        args = (q, k, v, true_len.astype(jnp.int32),
-                jnp.asarray(sparse_head_budgets, jnp.int32))
+    args = [q, k, v, true_len.astype(jnp.int32)]
+    specs = [P(b_ax, "tp"), P(b_ax, "tp"), P(b_ax, "tp"), P(b_ax)]
+    use_off = row_offset is not None
+    if use_off:
+        args.append(jnp.broadcast_to(
+            jnp.asarray(row_offset, jnp.int32).reshape(-1), (B,)))
+        specs.append(P(b_ax))
+    if sparse_head_budgets is not None:
+        args.append(jnp.asarray(sparse_head_budgets, jnp.int32))
+        specs.append(P("tp", None))
+
+    def local(qs, ks, vs, tl, *rest):
+        rest = list(rest)
+        lkw = dict(kw)
+        if use_off:
+            lkw["row_offset"] = rest.pop(0)
+        if sparse_head_budgets is not None:
+            lkw["sparse_head_budgets"] = rest.pop(0)
+        return flash_prefill_attention_batched(qs, ks, vs, tl, window, **lkw)
 
     fn = jax.shard_map(
         local, mesh=mesh,
-        in_specs=in_specs,
-        out_specs=(P("dp", "tp"), P("dp", "tp")),
+        in_specs=tuple(specs),
+        out_specs=(P(b_ax, "tp"), P(b_ax, "tp")),
         check_vma=False)
     return fn(*args)
 

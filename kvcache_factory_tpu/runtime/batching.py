@@ -75,6 +75,46 @@ def _alloc_pool(row, n_slots: int):
     return jax.tree.map(z, row)
 
 
+# --- chunk-pool row plumbing (chunked admission) ---------------------------
+# The chunked state is a (kbuf, vbuf, qwin, x_last) tuple whose batch axis
+# is 1 for the three [L, B, ...] buffers and 0 for x_last [B, hidden].
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _chunk_pool_insert(state, row_state, r: jnp.ndarray):
+    """Write a B=1 chunk state (prefix snapshot) into pool row ``r``."""
+    kb, vb, qw, xl = state
+    kb1, vb1, qw1, xl1 = row_state
+
+    def put(buf, one):
+        idx = (jnp.int32(0), r) + (jnp.int32(0),) * (buf.ndim - 2)
+        return jax.lax.dynamic_update_slice(buf, one, idx)
+
+    return (put(kb, kb1), put(vb, vb1), put(qw, qw1),
+            jax.lax.dynamic_update_slice(xl, xl1, (r, jnp.int32(0))))
+
+
+@jax.jit
+def _chunk_pool_extract(state, r: jnp.ndarray):
+    """Copy pool row ``r`` out as a B=1 chunk state (finalize input /
+    prefix snapshot).  A real copy: safe to retain across donated steps."""
+    kb, vb, qw, xl = state
+    take = lambda buf: jax.lax.dynamic_slice_in_dim(buf, r, 1, axis=1)
+    return (take(kb), take(vb), take(qw),
+            jax.lax.dynamic_slice_in_dim(xl, r, 1, axis=0))
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _chunk_pool_graft(new_state, old_state):
+    """Copy an old (smaller) pool into rows [0, P_old) of a grown pool.
+    (Only the new pool donates: the old one's differing shape makes its
+    buffers unreusable — donating them just warns.)"""
+    def put(buf, old):
+        idx = (jnp.int32(0),) * buf.ndim
+        return jax.lax.dynamic_update_slice(buf, old, idx)
+
+    return jax.tree.map(put, new_state, old_state)
+
+
 class ContinuousBatchingEngine:
     """Drains a request queue through a fixed-slot batched decode loop."""
 
@@ -101,15 +141,16 @@ class ContinuousBatchingEngine:
             from ..models.chunked_prefill import _check_supported
             _check_supported(cfg.compression)
             sh0 = cfg.sharding
-            if sh0.dp * sh0.tp * sh0.ep > 1:
-                # chunk_step is jitted without the mesh; its pallas path
-                # cannot be GSPMD-partitioned (same constraint the one-shot
-                # admission routes around via attn_backend/mesh) — reject
-                # loudly rather than fail at first admission compile
+            if sh0.ep > 1:
+                # ep-sharded MoE decode forces dense-local experts via an
+                # explicit gate; chunk_step has no such routing — reject
+                # loudly rather than ship an untested composition.  dp/tp
+                # compose (round 5): chunk buffers shard over (dp, tp) and
+                # the chunk attention runs the sharded flash wrapper / GSPMD.
                 raise ValueError(
-                    "chunked admission (prefill_chunk_tokens) does not yet "
-                    "compose with a device mesh; use one-shot admission "
-                    "under dp/tp/ep")
+                    "chunked admission (prefill_chunk_tokens) does not "
+                    "compose with expert parallelism (ep); use one-shot "
+                    "admission under ep meshes")
             bad = [b for b in cfg.prefill_buckets
                    if b % prefill_chunk_tokens]
             if bad:
@@ -138,7 +179,18 @@ class ContinuousBatchingEngine:
         # and are permanent for the engine's lifetime.
         self._prefix_states: Dict[tuple, tuple] = {}
         self._prefix_cache_bytes = int(prefix_cache_bytes)
-        self.prefill_chunks_executed = 0
+        # Pending chunked admissions pool PER BUCKET (round 5): one [P]-row
+        # chunk state advances every pending prompt of a bucket in ONE
+        # chunk_step dispatch (per-row c0 on the kernel's scalar-prefetch
+        # vector) — the round-4 serial drain paid a full ~30 ms tunnel
+        # dispatch per pending slot per loop, nearly doubling the admission
+        # stall it existed to bound whenever two prompts admitted together.
+        # Pools start at one row and double on demand (each growth
+        # recompiles chunk_step for the new batch size, then caches); a
+        # pool persists at its peak-concurrency size for engine lifetime.
+        self._chunk_groups: Dict[int, dict] = {}
+        self.prefill_chunks_executed = 0   # row-chunks advanced
+        self.prefill_chunk_dispatches = 0  # chunk_step calls issued
         self.eos = tuple(eos_token_ids)
         self.head_capacity = (None if head_capacity is None
                               else jnp.asarray(head_capacity, jnp.int32))
@@ -182,22 +234,157 @@ class ContinuousBatchingEngine:
 
     def _chunked_fns(self):
         """Jitted (chunk_step, finalize) pair for chunked admission; shapes
-        recompile per bucket, c0 is traced so every chunk of a bucket shares
-        one program."""
+        re-specialize per (bucket, pool size), c0 is a traced [P] vector so
+        every chunk of a bucket shares one program regardless of how many
+        rows are pending or how deep each is."""
         if hasattr(self, "_chunk_jit"):
             return self._chunk_jit, self._final_jit
         from ..models import chunked_prefill as cp
         model, comp = self.cfg.model, self.cfg.compression
         quant, cap = self.cfg.quant, self.cache_capacity
         hc, rng = self.head_capacity, self.rng
+        mesh = self.mesh
 
+        # the state (arg 4) is donated: chunk pools are the engine's largest
+        # transient buffers and every step fully replaces them (prefix
+        # snapshots are explicit _chunk_pool_extract copies, never aliases)
         self._chunk_jit = jax.jit(
-            lambda p, t, c0, tl, st: cp.chunk_step(p, model, t, c0, tl, *st))
+            lambda p, t, c0, tl, st: cp.chunk_step(p, model, t, c0, tl, *st,
+                                                   mesh=mesh),
+            donate_argnums=(4,))
         self._final_jit = jax.jit(
             lambda p, st, tl: cp.finalize(p, model, comp, *st, tl, cap,
                                           rng=rng, head_capacity=hc,
                                           quant=quant))
         return self._chunk_jit, self._final_jit
+
+    def _shard_chunk_state(self, state):
+        """Lay a chunk pool out over the (dp, tp) mesh: kv heads over tp,
+        pool rows over dp when dp divides them (else replicated — layout
+        only, the math is row-independent)."""
+        if self.mesh is None:
+            return state
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        kb, vb, qw, xl = state
+        dp = self.mesh.shape.get("dp", 1)
+        b_ax = "dp" if (dp > 1 and kb.shape[1] % dp == 0) else None
+        put = lambda x, spec: jax.device_put(
+            x, NamedSharding(self.mesh, spec))
+        spec5 = P(None, b_ax, "tp", None, None)
+        return (put(kb, spec5), put(vb, spec5), put(qw, spec5),
+                put(xl, P(b_ax, None)))
+
+    def _chunk_group(self, bucket: int) -> dict:
+        g = self._chunk_groups.get(bucket)
+        if g is None:
+            g = {"P": 0, "state": None,
+                 "toks": np.zeros((0, bucket), np.int32),
+                 "tl": np.zeros((0,), np.int32),
+                 "c0": np.zeros((0,), np.int32),
+                 "rows": {}, "free": []}
+            self._chunk_groups[bucket] = g
+        if not g["free"]:
+            # grow the pool: double the rows, graft existing state in
+            from ..models.chunked_prefill import init_chunked_state
+            newP = max(1, 2 * g["P"])
+            fresh = self._shard_chunk_state(init_chunked_state(
+                self.cfg.model, self.cfg.compression, newP, bucket))
+            if g["P"]:
+                fresh = _chunk_pool_graft(fresh, g["state"])
+            g["state"] = fresh
+            pad = newP - g["P"]
+            g["toks"] = np.concatenate(
+                [g["toks"], np.zeros((pad, bucket), np.int32)])
+            g["tl"] = np.concatenate([g["tl"], np.zeros((pad,), np.int32)])
+            g["c0"] = np.concatenate([g["c0"], np.zeros((pad,), np.int32)])
+            g["free"].extend(range(g["P"], newP))
+            g["P"] = newP
+        return g
+
+    def _admit_chunked(self, slot: int, rid: int, bucket: int):
+        """Claim a pool row for a newly admitted prompt (prefix-cache hits
+        resume mid-prompt by inserting the snapshot into the row)."""
+        g = self._chunk_group(bucket)
+        r = g["free"].pop()
+        prompt = self._prompts[rid]
+        g["toks"][r] = 0
+        g["toks"][r, :len(prompt)] = prompt
+        g["tl"][r] = len(prompt)
+        c0 = 0
+        snap_at = self._prefix_resume_point(prompt)
+        if snap_at:
+            key = (bucket, tuple(prompt[:snap_at]))
+            hit = self._prefix_states.get(key)
+            if hit is not None:
+                self._prefix_states[key] = self._prefix_states.pop(key)  # LRU
+                g["state"] = _chunk_pool_insert(g["state"], hit,
+                                               jnp.int32(r))
+                c0, snap_at = snap_at, 0  # resumed: nothing left to record
+        g["c0"][r] = c0
+        g["rows"][r] = {"rid": rid, "slot": slot, "n": len(prompt),
+                        "snap_at": snap_at, "prompt": prompt}
+
+    def _store_prefix_snapshot(self, key: tuple, state) -> None:
+        self._prefix_states[key] = state
+        while (self._prefix_states
+               and self._prefix_state_bytes() > self._prefix_cache_bytes):
+            self._prefix_states.pop(next(iter(self._prefix_states)))
+
+    def _advance_chunked_groups(self):
+        """Advance EVERY pending admission by one chunk — one chunk_step
+        dispatch per bucket pool, regardless of how many rows are pending
+        (per-row c0; inert rows carry tl=0).  Returns finished rows as
+        (slot, rid, cache, first_token)."""
+        step, final = self._chunked_fns()
+        Sc = self.prefill_chunk_tokens
+        done = []
+        for bucket, g in self._chunk_groups.items():
+            if not g["rows"]:
+                continue
+            toks_c = np.zeros((g["P"], Sc), np.int32)
+            for r in g["rows"]:
+                toks_c[r] = g["toks"][r, g["c0"][r]:g["c0"][r] + Sc]
+            # LANDMINE (cost a day of flaky corruption): numpy buffers
+            # handed to a jit are consumed LAZILY at execution time under
+            # async dispatch — even jnp.array(x)'s copy does not detach
+            # them — so mutating c0/tl below while the step is in flight
+            # silently corrupts it.  tolist() builds the device arrays from
+            # fresh python ints; toks_c is fresh per call and never mutated.
+            # (The decode loop gets away with jnp.asarray(cur) because its
+            # int(nsteps) readback syncs before any mutation.)
+            g["state"] = step(self.params, jnp.asarray(toks_c),
+                              jnp.asarray(g["c0"].tolist(), jnp.int32),
+                              jnp.asarray(g["tl"].tolist(), jnp.int32),
+                              g["state"])
+            self.prefill_chunk_dispatches += 1
+            # Host-side bookkeeping (no device readback: a ~25-40 ms tunnel
+            # round trip per chunk would rival the chunk itself).
+            for r in list(g["rows"]):
+                meta = g["rows"][r]
+                g["c0"][r] += Sc
+                self.prefill_chunks_executed += 1
+                if meta["snap_at"] and g["c0"][r] == meta["snap_at"]:
+                    # snapshot = explicit row copy (the pool itself is
+                    # donated to the next step, so references don't survive)
+                    self._store_prefix_snapshot(
+                        (bucket, tuple(meta["prompt"][:meta["snap_at"]])),
+                        _chunk_pool_extract(g["state"], jnp.int32(r)))
+                if g["c0"][r] >= meta["n"]:
+                    row_state = _chunk_pool_extract(g["state"], jnp.int32(r))
+                    res = final(self.params, row_state,
+                                jnp.asarray([meta["n"]], jnp.int32))
+                    first = jnp.argmax(res.logits_last,
+                                       axis=-1).astype(jnp.int32)
+                    done.append((meta["slot"], meta["rid"], res.cache,
+                                 first))
+                    g["rows"].pop(r)
+                    g["free"].append(r)
+                    g["tl"][r] = 0
+                    g["c0"][r] = 0
+        return done
+
+    def _chunked_pending(self) -> int:
+        return sum(len(g["rows"]) for g in self._chunk_groups.values())
 
     def _prefix_state_bytes(self) -> int:
         """Total device bytes pinned by live prefix snapshots."""
@@ -228,63 +415,6 @@ class ContinuousBatchingEngine:
                 continue
             best = c0
         return best
-
-    def _start_chunked(self, prompt: List[int], bucket: int):
-        from ..models.chunked_prefill import init_chunked_state
-        toks = np.zeros((1, bucket), np.int32)
-        toks[0, :len(prompt)] = prompt
-        c0 = 0
-        state = None
-        snap_at = self._prefix_resume_point(prompt)
-        if snap_at:
-            key = (bucket, tuple(prompt[:snap_at]))
-            hit = self._prefix_states.get(key)
-            if hit is not None:
-                self._prefix_states[key] = self._prefix_states.pop(key)  # LRU
-                c0, state = snap_at, hit
-        if state is None:
-            state = init_chunked_state(self.cfg.model,
-                                       self.cfg.compression, 1, bucket)
-        return {
-            "toks": jnp.asarray(toks),
-            "tl": jnp.asarray([len(prompt)], jnp.int32),
-            "n": len(prompt),  # host copy: no per-chunk device readback
-            "c0": c0,
-            "bucket": bucket,
-            "state": state,
-            "snap_at": 0 if c0 else snap_at,  # record when we pass it
-            "prompt": prompt,
-        }
-
-    def _advance_chunked(self, p):
-        """Run ONE chunk; returns (cache, first_token) when the prompt is
-        fully prefilled, else None."""
-        step, final = self._chunked_fns()
-        Sc = self.prefill_chunk_tokens
-        toks_c = jax.lax.dynamic_slice(p["toks"], (0, p["c0"]), (1, Sc))
-        p["state"] = step(self.params, toks_c,
-                          jnp.int32(p["c0"]), p["tl"], p["state"])
-        p["c0"] += Sc
-        self.prefill_chunks_executed += 1
-        if p["snap_at"] and p["c0"] == p["snap_at"]:
-            # free snapshot: the state arrays are immutable; later chunks
-            # build NEW arrays, so holding this reference costs nothing
-            # beyond keeping the buffers alive
-            key = (p["bucket"], tuple(p["prompt"][:p["snap_at"]]))
-            self._prefix_states[key] = p["state"]
-            while (self._prefix_states
-                   and self._prefix_state_bytes() > self._prefix_cache_bytes):
-                self._prefix_states.pop(next(iter(self._prefix_states)))
-        # prompt rows all written once c0 passes the prompt length (the rest
-        # of the bucket is right-padding — no need to run inert chunks over
-        # it).  Host-side compare: a device readback here would cost the
-        # ~25-40 ms tunnel round trip PER CHUNK — comparable to the chunk
-        # itself — and stall the async dispatch interleaving exists for.
-        if p["c0"] < p["n"]:
-            return None
-        res = final(self.params, p["state"], p["tl"])
-        first = jnp.argmax(res.logits_last, axis=-1).astype(jnp.int32)
-        return res.cache, first
 
     def _prefill_row(self, prompt: List[int], bucket: int):
         toks = np.zeros((1, bucket), np.int32)
@@ -381,7 +511,6 @@ class ContinuousBatchingEngine:
         slot_rid = [-1] * self.n_slots
         cur = np.zeros((self.n_slots,), np.int32)
         active = np.zeros((self.n_slots,), bool)
-        pending: Dict[int, dict] = {}  # slot -> chunked-prefill state
 
         def _put_cur(arr):
             j = jnp.asarray(arr)
@@ -415,27 +544,24 @@ class ContinuousBatchingEngine:
                 slot, rid, bucket, _ = adm
                 if self.prefill_chunk_tokens:
                     # bounded-stall admission: prefill advances one chunk
-                    # per loop iteration, interleaved with decode chunks
-                    p = self._start_chunked(self._prompts[rid], bucket)
-                    p["rid"] = rid
-                    pending[slot] = p
+                    # per loop iteration, interleaved with decode chunks;
+                    # concurrent admissions share a per-bucket pool row
+                    self._admit_chunked(slot, rid, bucket)
                     continue
                 row_cache, first_tok = self._prefill_row(
                     self._prompts[rid], bucket)
                 _activate(slot, rid, row_cache, first_tok)
 
-            # Advance every pending chunked prefill by ONE chunk.
-            for slot in list(pending):
-                done = self._advance_chunked(pending[slot])
-                if done is not None:
-                    row_cache, first_tok = done
-                    _activate(slot, pending[slot]["rid"], row_cache,
-                              first_tok)
-                    del pending[slot]
+            # Advance every pending chunked prefill by ONE chunk (one
+            # dispatch per bucket pool, however many rows are pending).
+            for slot, rid, row_cache, first_tok in \
+                    self._advance_chunked_groups():
+                _activate(slot, rid, row_cache, first_tok)
 
             if not active.any():
                 st = self.scheduler.stats()
-                if st["queued"] == 0 and st["active"] == 0 and not pending:
+                if (st["queued"] == 0 and st["active"] == 0
+                        and not self._chunked_pending()):
                     break
                 continue
 

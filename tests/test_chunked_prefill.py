@@ -47,6 +47,9 @@ METHODS = [
          pruning_ratio=0.4),
     dict(method="snapkv", max_capacity_prompt=48, window_size=8,
          group_reduce="mean"),
+    # h2o (round 5): the full-q store reproduces the reference's
+    # non-causal scoring exactly (module docstring)
+    dict(method="h2o", max_capacity_prompt=48, window_size=8),
 ]
 
 
@@ -163,13 +166,8 @@ def test_chunked_sliding_window(setup):
                                np.asarray(ref.cache.k), rtol=2e-5, atol=2e-5)
 
 
-def test_chunked_rejects_h2o_and_sparse(setup):
+def test_chunked_rejects_sparse(setup):
     cfg, params, toks, tl = setup
-    with pytest.raises(NotImplementedError):
-        prefill_chunked(params, cfg,
-                        CompressionConfig(method="h2o",
-                                          max_capacity_prompt=48),
-                        toks, tl, cache_capacity=160, chunk_size=32)
     with pytest.raises(NotImplementedError):
         prefill_chunked(params, cfg,
                         CompressionConfig(method="minference",
@@ -215,6 +213,128 @@ def test_batching_chunked_admission_matches_oneshot():
 
     for rp, rc in zip(rids_p, rids_c):
         assert out_p[rp] == out_c[rc], (out_p[rp], out_c[rc])
+
+
+def test_concurrent_admissions_share_one_dispatch():
+    """N prompts of one bucket pending together advance in ONE chunk_step
+    dispatch per drain iteration (per-row c0), not N serial B=1 dispatches
+    — and outputs still match the one-shot-admission drain exactly."""
+    from kvcache_factory_tpu.config import EngineConfig
+    from kvcache_factory_tpu.runtime.batching import ContinuousBatchingEngine
+
+    cfg = ModelConfig(model_type="llama", vocab_size=128, hidden_size=128,
+                      intermediate_size=256, num_hidden_layers=2,
+                      num_attention_heads=8, num_key_value_heads=4,
+                      head_dim=16, max_position_embeddings=512,
+                      dtype="float32")
+    params = init_params(cfg, jax.random.PRNGKey(7), dtype=jnp.float32)
+    comp = CompressionConfig(method="snapkv", max_capacity_prompt=32,
+                             window_size=8, kernel_size=7, pooling="maxpool")
+    ecfg = EngineConfig(model=cfg, compression=comp, prefill_buckets=(128,))
+    rng = np.random.default_rng(23)
+    prompts = [rng.integers(0, 128, size=s).tolist()
+               for s in (120, 100, 110, 90)]
+    max_new = 5
+
+    plain = ContinuousBatchingEngine(params, ecfg, n_slots=4,
+                                     max_new_cap=max_new)
+    rids_p = [plain.submit(p, max_new) for p in prompts]
+    out_p = plain.run()
+
+    eng = ContinuousBatchingEngine(params, ecfg, n_slots=4,
+                                   max_new_cap=max_new,
+                                   prefill_chunk_tokens=32)
+    rids = [eng.submit(p, max_new) for p in prompts]
+    out = eng.run()
+    for rp, rc in zip(rids_p, rids):
+        assert out_p[rp] == out[rc]
+    # all four prompts admit together (4 free slots): every drain iteration
+    # advances ALL of them in one dispatch, so dispatches ≈ the LONGEST
+    # prompt's chunk count (4), not the sum (14)
+    assert eng.prefill_chunks_executed == sum(
+        -(-len(p) // 32) for p in prompts)
+    assert eng.prefill_chunk_dispatches <= 5, eng.prefill_chunk_dispatches
+
+
+def test_batching_chunked_under_mesh_matches_single_device():
+    """Chunked admission composes with a (dp, tp) mesh (round-5 headline):
+    chunk buffers shard over tp kv-heads / dp rows and outputs are
+    token-exact vs the single-device chunked drain AND the sharded one-shot
+    drain."""
+    from kvcache_factory_tpu.config import EngineConfig, ShardingConfig
+    from kvcache_factory_tpu.runtime.batching import ContinuousBatchingEngine
+
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 virtual devices")
+    cfg = ModelConfig(model_type="llama", vocab_size=128, hidden_size=128,
+                      intermediate_size=256, num_hidden_layers=2,
+                      num_attention_heads=8, num_key_value_heads=4,
+                      head_dim=16, max_position_embeddings=512,
+                      dtype="float32")
+    params = init_params(cfg, jax.random.PRNGKey(7), dtype=jnp.float32)
+    comp = CompressionConfig(method="snapkv", max_capacity_prompt=32,
+                             window_size=8, kernel_size=7, pooling="maxpool")
+    rng = np.random.default_rng(29)
+    prompts = [rng.integers(0, 128, size=s).tolist()
+               for s in (120, 100, 90, 60)]
+    max_new = 5
+
+    def drain(sharding, chunk):
+        ecfg = EngineConfig(model=cfg, compression=comp,
+                            prefill_buckets=(64, 128), sharding=sharding)
+        eng = ContinuousBatchingEngine(params, ecfg, n_slots=2,
+                                       max_new_cap=max_new,
+                                       prefill_chunk_tokens=chunk)
+        rids = [eng.submit(p, max_new) for p in prompts]
+        out = eng.run()
+        return [out[r] for r in rids]
+
+    single = drain(ShardingConfig(), 32)
+    mesh24 = drain(ShardingConfig(dp=2, tp=4), 32)
+    assert mesh24 == single
+    oneshot24 = drain(ShardingConfig(dp=2, tp=4), 0)
+    assert oneshot24 == single
+
+
+def test_batching_chunked_prefix_under_mesh():
+    """Prefix caching works under the mesh too: snapshots carry their
+    shardings and resumed admissions skip the prefix chunks."""
+    from kvcache_factory_tpu.config import EngineConfig, ShardingConfig
+    from kvcache_factory_tpu.runtime.batching import ContinuousBatchingEngine
+
+    if jax.device_count() < 4:
+        pytest.skip("needs 4 virtual devices")
+    cfg = ModelConfig(model_type="llama", vocab_size=128, hidden_size=128,
+                      intermediate_size=256, num_hidden_layers=2,
+                      num_attention_heads=8, num_key_value_heads=4,
+                      head_dim=16, max_position_embeddings=512,
+                      dtype="float32")
+    params = init_params(cfg, jax.random.PRNGKey(7), dtype=jnp.float32)
+    comp = CompressionConfig(method="snapkv", max_capacity_prompt=32,
+                             window_size=8, kernel_size=7, pooling="maxpool")
+    rng = np.random.default_rng(31)
+    system = rng.integers(0, 128, size=70).tolist()
+    prompts = [system + rng.integers(0, 128, size=n).tolist()
+               for n in (40, 50, 45)]
+
+    def drain(sharding, register):
+        ecfg = EngineConfig(model=cfg, compression=comp,
+                            prefill_buckets=(128,), sharding=sharding)
+        eng = ContinuousBatchingEngine(params, ecfg, n_slots=2,
+                                       max_new_cap=5,
+                                       prefill_chunk_tokens=32)
+        if register:
+            eng.cache_prefix(system)
+        rids = [eng.submit(p, 5) for p in prompts]
+        out = eng.run()
+        return [out[r] for r in rids], eng.prefill_chunks_executed
+
+    base, _ = drain(ShardingConfig(), False)
+    got, n_mesh = drain(ShardingConfig(dp=2, tp=2), True)
+    assert got == base
+    plain_mesh, n_plain = drain(ShardingConfig(dp=2, tp=2), False)
+    assert plain_mesh == base
+    assert n_mesh < n_plain  # some prefix chunks were skipped
 
 
 def test_batching_chunked_rejects_bad_bucket():

@@ -588,6 +588,63 @@ def test_flash_chunk_mode_matches_full_call_slices():
                 np.asarray(full)[b, :, lo:hi])
 
 
+def test_flash_chunk_mode_per_row_offsets():
+    """row_offset as a [B] vector: each batch row runs at its OWN prefill
+    depth in one call (concurrent chunked admissions), matching per-example
+    scalar-offset calls exactly."""
+    from kvcache_factory_tpu.ops.kernels.flash_prefill import (
+        flash_prefill_attention_batched)
+    B, Hq, G, S, Sc = 3, 4, 2, 256, 64
+    Hkv = Hq // G
+    rng = np.random.default_rng(59)
+    q = jnp.asarray(rng.normal(size=(B, Hq, Sc, D)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(B, Hkv, S, D)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(B, Hkv, S, D)), jnp.float32)
+    tls = jnp.asarray([S, 190, 100], jnp.int32)
+    offs = jnp.asarray([128, 64, 0], jnp.int32)
+
+    got, _ = flash_prefill_attention_batched(
+        q, k, v, tls, 0, q_block=64, kv_block=64, interpret=True,
+        row_offset=offs)
+    for b in range(B):
+        ref, _ = flash_prefill_attention_batched(
+            q[b:b + 1], k[b:b + 1], v[b:b + 1], tls[b:b + 1], 0,
+            q_block=64, kv_block=64, interpret=True,
+            row_offset=offs[b])
+        t, c0 = int(tls[b]), int(offs[b])
+        hi = max(min(c0 + Sc, t) - c0, 0)
+        np.testing.assert_array_equal(np.asarray(got)[b, :, :hi],
+                                      np.asarray(ref)[0, :, :hi])
+
+
+def test_flash_chunk_mode_sharded_per_row_offsets():
+    """The shard_map wrapper forwards per-row chunk offsets sharded over dp
+    with their rows: bit-identical to the unsharded chunk-mode call."""
+    from kvcache_factory_tpu.ops.kernels.flash_prefill import (
+        flash_prefill_attention_batched,
+        flash_prefill_attention_batched_sharded)
+    from kvcache_factory_tpu.parallel.mesh import make_mesh
+    from kvcache_factory_tpu.config import ShardingConfig
+
+    B, Hq, G, S, Sc = 2, 4, 2, 256, 64
+    Hkv = Hq // G
+    rng = np.random.default_rng(61)
+    q = jnp.asarray(rng.normal(size=(B, Hq, Sc, D)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(B, Hkv, S, D)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(B, Hkv, S, D)), jnp.float32)
+    tls = jnp.asarray([S, 150], jnp.int32)
+    offs = jnp.asarray([64, 128], jnp.int32)
+
+    mesh = make_mesh(ShardingConfig(dp=2, tp=2))
+    out_s, _ = flash_prefill_attention_batched_sharded(
+        mesh, q, k, v, tls, 0, row_offset=offs, q_block=64, kv_block=64,
+        interpret=True)
+    out_u, _ = flash_prefill_attention_batched(
+        q, k, v, tls, 0, row_offset=offs, q_block=64, kv_block=64,
+        interpret=True)
+    np.testing.assert_array_equal(np.asarray(out_s), np.asarray(out_u))
+
+
 def test_flash_chunk_mode_sliding_window():
     from kvcache_factory_tpu.ops.kernels.flash_prefill import (
         flash_prefill_attention_batched)
