@@ -48,6 +48,11 @@ def main():
     ap.add_argument("--group_reduce", type=str, default="none",
                     help="'mean' = GQA-grouped cache (4x smaller for this "
                          "geometry); 'none' = reference-parity per-query-head")
+    ap.add_argument("--decode_evict", action="store_true",
+                    help="decode-stage eviction (EvictingKVCache): the "
+                         "beyond-reference decode-compression feature; runs "
+                         "the XLA decode path (no kernel for this cache) — "
+                         "this flag prices that tradeoff (VERDICT r4 #6)")
     ap.add_argument("--tp1_shard", action="store_true",
                     help="run decode through the shard_map'd kernel wrappers "
                          "over a 1-device (dp, tp) mesh — measures the "
@@ -55,9 +60,12 @@ def main():
     args = ap.parse_args()
 
     cfg = flagship()
+    comp_kw = {}
+    if args.decode_evict:
+        comp_kw = dict(decode_evict=True, eviction_recent=16)
     comp = CompressionConfig(method=args.method, max_capacity_prompt=args.capacity,
                              window_size=8, kernel_size=7, pooling="maxpool",
-                             group_reduce=args.group_reduce)
+                             group_reduce=args.group_reduce, **comp_kw)
     quant = None
     if args.nbits:
         from kvcache_factory_tpu.config import QuantConfig
@@ -99,8 +107,9 @@ def main():
     def decode_n(params, tok, cache, n):
         def body(carry, _):
             tok, cache = carry
-            logits, cache = llama.decode_step(params, cfg, tok, cache,
-                                              quant=quant, mesh=mesh)
+            logits, cache = llama.decode_step(
+                params, cfg, tok, cache, quant=quant, mesh=mesh,
+                eviction_recent=comp.eviction_recent)
             tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
             return (tok, cache), tok
         (tok, cache), toks = jax.lax.scan(body, (tok, cache), None, length=n)

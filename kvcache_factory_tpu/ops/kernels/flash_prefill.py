@@ -63,8 +63,15 @@ NEG_INF = float(jnp.finfo(jnp.float32).min)
 def _flash_kernel(S: int, QB: int, KB: int, D: int, G: int, W: int,
                   WPAD: int, use_stash: bool, scale: float, sparse,
                   sink_blocks: int, local_blocks: int, stride: int,
-                  use_mask: bool, SW, use_off: bool,
+                  use_mask: bool, SW, use_off: bool, emit_ml: bool,
                   *refs):
+    # emit_ml (ring-attention fold, round 5): a third output carries each
+    # row's final online-softmax stats — lanes 0:128 broadcast m, lanes
+    # 128:256 broadcast l — so an XLA wrapper can combine per-hop partial
+    # attentions exactly (parallel/ring_attention.py).
+    refs = list(refs)
+    n_scalar = 2 if (use_mask or use_off) else 1
+    ml_ref = refs.pop(n_scalar + 5) if emit_ml else None
     if use_mask:
         # scalar prefetch: [off [B]], tl [B], mask [B, Hq, n_qb, n_kvb] int32
         (tl_ref, mask_ref, q_ref, k_hbm, v_hbm, o_ref, scores_ref,
@@ -268,6 +275,11 @@ def _flash_kernel(S: int, QB: int, KB: int, D: int, G: int, W: int,
 
     l_safe = jnp.where(l == 0.0, 1.0, l)
     o_ref[0, 0] = (acc / l_safe).astype(o_ref.dtype)
+    if emit_ml:
+        # raw (m, l), not l_safe: a fully-masked row must read back as
+        # (finfo.min, 0) so the hop combine weighs it to zero
+        ml_ref[0, 0, :, 0:128] = jnp.broadcast_to(m, (QB, 128))
+        ml_ref[0, 0, :, 128:256] = jnp.broadcast_to(l, (QB, 128))
 
     # ---- window-score emission ----
     @pl.when(has_window_rows)
@@ -409,7 +421,7 @@ def vertical_slash_block_mask(
 @functools.partial(jax.jit,
                    static_argnames=("window", "q_block", "kv_block",
                                     "interpret", "sparse_pattern",
-                                    "sliding_window"))
+                                    "sliding_window", "return_ml"))
 def flash_prefill_attention_batched(
     q: jnp.ndarray,        # [B, Hq, S, D]
     k: jnp.ndarray,        # [B, Hkv, S, D]
@@ -423,8 +435,13 @@ def flash_prefill_attention_batched(
     sparse_head_budgets: Optional[jnp.ndarray] = None,  # [Hq, 2] int32
     sliding_window: Optional[int] = None,
     row_offset: Optional[jnp.ndarray] = None,  # scalar | [B] int32 (chunk)
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Returns (out [B, Hq, S_q, D], window_scores [B, Hq, S_k] fp32).
+    return_ml: bool = False,
+) -> Tuple[jnp.ndarray, ...]:
+    """Returns (out [B, Hq, S_q, D], window_scores [B, Hq, S_k] fp32);
+    with ``return_ml`` additionally (m, l) [B, Hq, S_q] fp32 — each row's
+    final online-softmax stats, for exact cross-call combining (the ring-
+    attention fold: out here is LOCAL attention over this call's keys;
+    ``acc = out * l`` recovers the unnormalized accumulator).
 
     Chunk mode (``row_offset`` given): q is a CHUNK [B, Hq, S_q, D] of a
     longer sequence whose keys fill k/v [B, Hkv, S_k, D]; q row r of batch
@@ -470,6 +487,15 @@ def flash_prefill_attention_batched(
             "whole-sequence queries")
     else:
         assert S_q == S, "q and k lengths differ only in chunk mode"
+    if return_ml:
+        assert window == 0 and sparse_pattern is None, (
+            "(m, l) emission is a dense-attention feature (ring fold)")
+    # NOTE: row_offset must be non-negative.  A q block whose causal
+    # frontier lies entirely before kv block 0 (kv_hi == 0) leaves the DMA
+    # prologue's slot started but the epilogue waiting on slot (kv_hi-1)%3
+    # — a semaphore never signaled: interpret-clean, DEADLOCK on hardware
+    # (the Mosaic conditional-wait landmine).  Callers gate such calls out
+    # (the ring fold's `src <= my` hop skip).
     # v5e sweep (s_buf-pipelined kernel, vmem_limit raised past the 16 MB
     # default): 32k/64k want 2048x2048 blocks (121/131 TF/s); at <=16k the
     # shorter KV runs favor 1024x1024 (4k 51, 8k 81, 16k 102 TF/s).  Sparse
@@ -535,7 +561,7 @@ def flash_prefill_attention_batched(
     kernel = functools.partial(_flash_kernel, S_pad, QB, KB, D, G, window,
                                WPAD, use_stash, scale, sparse, sink_b,
                                local_b, stride, use_mask, sliding_window,
-                               use_off)
+                               use_off, return_ml)
 
     n_scalar = len(scalar_args)
     blk_q = lambda b, h, qb, *_: (b, h, qb, 0)
@@ -552,7 +578,8 @@ def flash_prefill_attention_batched(
             pl.BlockSpec((1, 1, QB, D), blk_q, memory_space=pltpu.VMEM),
             # scores block resident across the q-block loop (same per (b, h))
             pl.BlockSpec((1, 1, 1, S_pad), blk_s, memory_space=pltpu.VMEM),
-        ],
+        ] + ([pl.BlockSpec((1, 1, QB, 256), blk_q,
+                           memory_space=pltpu.VMEM)] if return_ml else []),
         scratch_shapes=[
             pltpu.VMEM((3, KB, D), k.dtype),
             pltpu.VMEM((3, KB, D), v.dtype),
@@ -571,13 +598,20 @@ def flash_prefill_attention_batched(
         ],
     )
 
-    out, scores = pl.pallas_call(
+    # Under a check_vma=True shard_map (the ring fold) pallas outputs must
+    # declare how they vary over mesh axes: exactly as the inputs do.
+    vma = (getattr(jax.typeof(q), "vma", frozenset())
+           | getattr(jax.typeof(k), "vma", frozenset())
+           | getattr(jax.typeof(true_len), "vma", frozenset()))
+    sds = lambda shape, dt: jax.ShapeDtypeStruct(shape, dt, vma=vma)
+    outs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((B, Hq, Sq_pad, D), q.dtype),
-            jax.ShapeDtypeStruct((B, Hq, 1, S_pad), jnp.float32),
-        ],
+            sds((B, Hq, Sq_pad, D), q.dtype),
+            sds((B, Hq, 1, S_pad), jnp.float32),
+        ] + ([sds((B, Hq, Sq_pad, 256), jnp.float32)]
+             if return_ml else []),
         # The default scoped-VMEM limit is 16 MB (a compiler default, not the
         # hardware: v5e has ~128 MB of physical VMEM); the s_buf pipeline +
         # triple-buffered KV chunks sit right at that edge, and larger block
@@ -589,6 +623,11 @@ def flash_prefill_attention_batched(
         interpret=interpret,
     )(*scalar_args, q, k, v)
 
+    out, scores = outs[0], outs[1]
+    if return_ml:
+        ml = outs[2]
+        return (out[:, :, :S_q], scores[:, :, 0, :S],
+                ml[:, :, :S_q, 0], ml[:, :, :S_q, 128])
     return out[:, :, :S_q], scores[:, :, 0, :S]
 
 

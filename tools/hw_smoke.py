@@ -104,9 +104,11 @@ def _tp1_sharded_check(label, make_cache, quant):
         lg_s, c_s = jax.jit(lambda t, c: llama.decode_step(
             params, cfg, t, c, quant=quant, mesh=mesh))(tok, pre.cache)
         d = np.abs(np.asarray(lg_p) - np.asarray(lg_s)).max()
-        # kernel outputs are bit-identical; surrounding XLA may retile under
-        # shard_map — require near-exact logits
-        assert d < 1e-2, f"tp=1 sharded decode drifted {d}"
+        # Measured 0.0 on hardware every round since 3 (BASELINE.md table)
+        # for all three cache types; assert exactly that so any future
+        # shard_map retiling regression trips the smoke instead of hiding
+        # under a loose 1e-2 (round-4 verdict weak #5).
+        assert d == 0.0, f"tp=1 sharded decode drifted {d}"
         print(f"tp1-shard {label:6s} max|d|={d:.2e} OK")
     except Exception as e:
         failures.append((f"tp1-shard-{label}", "-"))
@@ -164,6 +166,34 @@ except Exception as e:
     failures.append(("flash-chunk-mode", "-"))
     print(f"flash chunk-mode FAIL: {str(e)[:100]}")
 
+# 1d. Chunk mode with PER-ROW offsets (round 5, concurrent admissions):
+#     rows at different prefill depths in one call must match the
+#     corresponding full-call slices bitwise.
+try:
+    _k2 = jax.random.normal(jax.random.PRNGKey(6), (2, 1, 1024, 128),
+                            jnp.bfloat16)
+    _v2 = jax.random.normal(jax.random.PRNGKey(7), (2, 1, 1024, 128),
+                            jnp.bfloat16)
+    _tl2 = jnp.asarray([1000, 900], jnp.int32)
+    _off2 = jnp.asarray([512, 256], jnp.int32)
+    _qfull = jax.random.normal(jax.random.PRNGKey(8), (2, 4, 1024, 128),
+                               jnp.bfloat16)
+    _full2, _ = jax.jit(lambda q, k, v, t: flash_prefill_attention_batched(
+        q, k, v, t, 0))(_qfull, _k2, _v2, _tl2)
+    # per-row q chunks: slices of the SAME full q, at different depths
+    _qrows = jnp.stack([_qfull[0, :, 512:1024], _qfull[1, :, 256:768]])
+    _got2, _ = jax.jit(lambda q, k, v, t, o: flash_prefill_attention_batched(
+        q, k, v, t, 0, row_offset=o))(_qrows, _k2, _v2, _tl2, _off2)
+    g2 = np.asarray(_got2, np.float32)
+    f2 = np.asarray(_full2, np.float32)
+    d0 = np.abs(g2[0, :, :488] - f2[0, :, 512:1000]).max()
+    d1 = np.abs(g2[1, :, :512] - f2[1, :, 256:768]).max()
+    assert d0 == 0.0 and d1 == 0.0, (d0, d1)
+    print("flash chunk-mode per-row offsets bit-identical OK")
+except Exception as e:
+    failures.append(("flash-chunk-per-row", "-"))
+    print(f"flash chunk-mode per-row FAIL: {str(e)[:100]}")
+
 # 2. Continuous-batching drain with an int8 quant cache on the chip.
 try:
     from kvcache_factory_tpu.config import EngineConfig
@@ -185,6 +215,76 @@ try:
 except Exception as e:
     failures.append(("batching-int8", "-"))
     print(f"batching+int8 FAIL: {str(e)[:120]}")
+
+# 2b. Ring-attention kernel fold at sp=1 (round 5): with one shard the
+#     fold is a single hop (src == my, offset 0) through the chunk-mode
+#     kernel + the (m, l) combine — its output must be bit-identical to a
+#     direct flash kernel call (the combine folds exactly one hop).
+try:
+    from kvcache_factory_tpu.parallel.ring_attention import \
+        make_ring_attention
+    _qr = jax.random.normal(jax.random.PRNGKey(9), (1, 4, 2048, 128),
+                            jnp.bfloat16)
+    _kr = jax.random.normal(jax.random.PRNGKey(10), (1, 1, 2048, 128),
+                            jnp.bfloat16)
+    _vr = jax.random.normal(jax.random.PRNGKey(11), (1, 1, 2048, 128),
+                            jnp.bfloat16)
+    _tlr = jnp.asarray([1800], jnp.int32)
+    _mesh_sp = Mesh(np.asarray(jax.devices()[:1]), ("sp",))
+    _ring = make_ring_attention(_mesh_sp, "sp")
+    with _mesh_sp:
+        _or = _ring(_qr, _kr, _vr, _tlr)
+    _od, _, _mh, _lh = jax.jit(
+        lambda q, k, v, t: flash_prefill_attention_batched(
+            q, k, v, t, 0, row_offset=jnp.zeros((1,), jnp.int32),
+            return_ml=True))(_qr, _kr, _vr, _tlr)
+    # combine of ONE hop: out * l / l == out up to fp32 mul/div rounding
+    dr = np.abs(np.asarray(_or, np.float32)[0, :, :1800]
+                - np.asarray(_od, np.float32)[0, :, :1800]).max()
+    rel = dr / max(np.abs(np.asarray(_od, np.float32)).max(), 1e-9)
+    assert rel < 2e-2, (dr, rel)
+    print(f"ring kernel fold sp=1 max|d|={dr:.2e} (rel {rel:.1e}) OK")
+except Exception as e:
+    failures.append(("ring-kernel-fold-sp1", "-"))
+    print(f"ring kernel fold sp=1 FAIL: {str(e)[:120]}")
+
+# 3. Chunked admission under a tp=1 mesh (round 5): the engine drives the
+#    SHARDED flash chunk path on hardware; tokens must equal the
+#    single-device chunked drain (bit-identical kernels, tp=1 plumbing).
+try:
+    from kvcache_factory_tpu.config import EngineConfig
+    from kvcache_factory_tpu.runtime.batching import ContinuousBatchingEngine
+    _prompts = [np.random.default_rng(20 + i).integers(
+        0, cfg.vocab_size, 300 + 40 * i).tolist() for i in range(3)]
+    _comp_ch = CompressionConfig(method="snapkv", max_capacity_prompt=CAP,
+                                 window_size=8, kernel_size=7,
+                                 pooling="maxpool", group_reduce="mean")
+
+    def _chunk_drain(with_mesh):
+        ecfg = EngineConfig(model=cfg, compression=_comp_ch,
+                            prefill_buckets=(S,))
+        eng = ContinuousBatchingEngine(params, ecfg, n_slots=2,
+                                       max_new_cap=6, chunk_size=4,
+                                       prefill_chunk_tokens=128)
+        if with_mesh:
+            # a 1x1 (dp, tp) mesh does not trigger the engine's own mesh
+            # construction (product 1); inject it so the chunk path runs
+            # the SHARDED flash wrapper on the chip, like the other tp=1
+            # cells do
+            eng.mesh = Mesh(np.asarray(jax.devices()[:1]).reshape(1, 1),
+                            ("dp", "tp"))
+        rids = [eng.submit(p, 6) for p in _prompts]
+        out = eng.run()
+        return [out[r] for r in rids], eng.prefill_chunk_dispatches
+
+    _single, _ = _chunk_drain(False)
+    _mesh1, _disp = _chunk_drain(True)
+    assert _mesh1 == _single, (_mesh1, _single)
+    print(f"chunked admission tp=1 mesh token-exact "
+          f"({_disp} pooled dispatches) OK")
+except Exception as e:
+    failures.append(("chunked-admission-mesh", "-"))
+    print(f"chunked admission mesh FAIL: {str(e)[:120]}")
 
 if failures:
     print("FAILURES:", failures)
