@@ -177,7 +177,12 @@ def chunk_step(
             # the shared blocked helper with global row offsets (one
             # implementation of the masked-softmax math, per the repo's
             # kernel-divergence lesson); partitions under GSPMD when the
-            # inputs/weights are mesh-sharded
+            # inputs/weights are mesh-sharded.  Cost note (round-4 advisor):
+            # this path multiplies every chunk against the FULL bucket-sized
+            # buffer (masked past the frontier), ~2x the one-shot FLOPs
+            # summed over chunks — acceptable because it only serves
+            # CPU/test runs; the flash chunk mode skips frontier blocks
+            # via kv_hi and is what every TPU path uses.
             attn = blocked_causal_attention(q, kl, vl, true_len,
                                             cfg.sliding_window,
                                             row_offset=c0)

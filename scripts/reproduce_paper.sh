@@ -63,3 +63,9 @@ fi
 echo "Done. Compare the results.csv tables against the PyramidKV paper"
 echo "(arXiv:2406.02069) tables at matching budget; target is within the"
 echo "paper's stated run-to-run delta (BASELINE.md)."
+
+# Note on serving-only flags: chunked admission / prefix caching
+# (prefill_chunk_tokens, prefix_cache_bytes) belong to the continuous-
+# batching SERVING engine (examples/serving.py --prefill_chunk ...), not
+# the eval protocol — evals prefill each batch one-shot by design, exactly
+# as the reference does, so scores are knob-free comparable.
