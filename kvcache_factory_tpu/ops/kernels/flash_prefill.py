@@ -43,7 +43,10 @@ closed at the ~91 TF/s characterized floor; batching recovers it where it
 matters — B=8 at 8k runs 96 TF/s through the batched grid.)
 
 Shapes: per (batch, query-head) — the wrapper maps heads/batch onto the grid;
-GQA indexes the shared KV head.  Requires lane-aligned head_dim (D % 128 == 0).
+GQA indexes the shared KV head.  Requires lane-aligned head_dim
+(D % 128 == 0).  Block sizes below 128 are interpret-only: the scores
+plane slices at KB-lane granularity, which Mosaic rejects under 128 on
+hardware (found round 5 — qb=64 fails remote compile even dense).
 """
 
 from __future__ import annotations
@@ -111,12 +114,19 @@ def _flash_kernel(S: int, QB: int, KB: int, D: int, G: int, W: int,
     # cols (r - SW, r], so blocks strictly below (row0 - SW + 1) // KB hold
     # no visible keys for ANY row of this q block and are skipped entirely —
     # windowed prefill streams O(S * SW) instead of O(S^2) bytes, the whole
-    # point of the window.  kv_lo <= row0 // KB < kv_hi always (the diagonal
-    # block is never skipped), so the pipeline below stays well-formed.
+    # point of the window.  Whole-sequence prefill always has
+    # kv_lo <= row0 // KB < kv_hi (the diagonal block is in range), but in
+    # chunk mode row0 can exceed the KV buffer (ring hops: row0 includes
+    # (my - src) * S_loc), where an unclamped kv_lo could reach kv_hi —
+    # the prologue would then DMA out of bounds and the epilogue wait on a
+    # never-signaled semaphore (interpret-clean, DEADLOCK on hardware).
+    # Clamp to kv_hi - 1: the degenerate single block is fully
+    # window-masked, and its garbage (m=finfo.min, l) folds to zero weight
+    # in the ring combine exactly like any fully-masked hop row.
     if SW is None:
         kv_lo = 0  # static: dense code is byte-identical to before
     else:
-        kv_lo = jnp.maximum((row0 - SW + 1) // KB, 0)
+        kv_lo = jnp.clip((row0 - SW + 1) // KB, 0, kv_hi - 1)
 
     @pl.when(qb == 0)
     def _():

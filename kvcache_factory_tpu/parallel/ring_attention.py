@@ -58,6 +58,8 @@ def ring_attention(
     q_block: int = 1024,
     backend: str = "auto",  # "auto" | "xla" (force the einsum fold)
     interpret: bool = False,
+    kernel_q_block=None,    # override the kernel's adaptive block size
+    kernel_kv_block=None,   # (tests force multi-q-block geometries)
 ) -> jnp.ndarray:
     """Causal attention over the global sequence; returns this shard's rows.
 
@@ -77,7 +79,8 @@ def ring_attention(
     if (backend != "xla" and D % 128 == 0
             and (interpret or jax.default_backend() in ("tpu", "axon"))):
         return _ring_kernel_fold(q, k, v, true_len, axis_name,
-                                 sliding_window, interpret)
+                                 sliding_window, interpret,
+                                 kernel_q_block, kernel_kv_block)
     Hkv = k.shape[1]
     G = Hq // Hkv
     n = lax.psum(1, axis_name)
@@ -157,7 +160,8 @@ def ring_attention(
 
 
 def _ring_kernel_fold(q, k, v, true_len, axis_name: str,
-                      SW: Optional[int], interpret: bool) -> jnp.ndarray:
+                      SW: Optional[int], interpret: bool,
+                      q_block=None, kv_block=None) -> jnp.ndarray:
     """Flash-kernel per-hop fold (see :func:`ring_attention` docstring)."""
     from ..ops.kernels.flash_prefill import flash_prefill_attention_batched
 
@@ -171,7 +175,7 @@ def _ring_kernel_fold(q, k, v, true_len, axis_name: str,
         out_h, _, m_h, l_h = flash_prefill_attention_batched(
             q, k_blk, v_blk, tl - src * S_loc, 0, sliding_window=SW,
             row_offset=jnp.broadcast_to(off, (B,)), return_ml=True,
-            interpret=interpret)
+            q_block=q_block, kv_block=kv_block, interpret=interpret)
         # exact online-softmax combine of two partial attentions; a row
         # fully masked in THIS hop reads (m_h, l_h) = (finfo.min, 0), so
         # beta * l_h == 0 and it contributes nothing
@@ -222,7 +226,8 @@ def make_ring_attention(mesh, axis_name: str = "sp",
                         batch_axis: Optional[str] = None,
                         head_axis: Optional[str] = None,
                         backend: str = "auto",
-                        interpret: bool = False):
+                        interpret: bool = False,
+                        kernel_q_block=None, kernel_kv_block=None):
     """shard_map-wrapped ring attention over ``axis_name`` of ``mesh``.
 
     ``head_axis`` shards the head dim too (tp x sp composition: the ring
@@ -235,7 +240,9 @@ def make_ring_attention(mesh, axis_name: str = "sp",
     return shard_map(
         functools.partial(ring_attention, axis_name=axis_name,
                           sliding_window=sliding_window,
-                          backend=backend, interpret=interpret),
+                          backend=backend, interpret=interpret,
+                          kernel_q_block=kernel_q_block,
+                          kernel_kv_block=kernel_kv_block),
         mesh=mesh,
         in_specs=(spec, spec, spec, P(batch_axis)),
         out_specs=spec,

@@ -554,9 +554,16 @@ class ContinuousBatchingEngine:
 
             # Advance every pending chunked prefill by ONE chunk (one
             # dispatch per bucket pool, however many rows are pending).
-            for slot, rid, row_cache, first_tok in \
-                    self._advance_chunked_groups():
-                _activate(slot, rid, row_cache, first_tok)
+            # First tokens are read back in ONE stacked transfer: the
+            # readback is the only SYNCHRONOUS step in activation (round-5
+            # review — N same-length prompts finish together, and N
+            # separate int() reads would serialize N tunnel round trips;
+            # dispatches themselves pipeline async and need no batching).
+            done = self._advance_chunked_groups()
+            if done:
+                firsts = np.asarray(jnp.stack([ft for *_, ft in done]))
+                for (slot, rid, row_cache, _), ft in zip(done, firsts):
+                    _activate(slot, rid, row_cache, ft)
 
             if not active.any():
                 st = self.scheduler.stats()

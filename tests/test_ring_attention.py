@@ -120,6 +120,35 @@ def test_ring_kernel_fold_matches_einsum_fold(true_len, W):
                                    rtol=3e-5, atol=3e-5)
 
 
+def test_ring_kernel_fold_sliding_window_multi_qblock():
+    """Round-5 review finding: a partially-visible sliding-window hop whose
+    HIGHER q blocks lie entirely past the window drove the kernel's
+    unclamped kv_lo to kv_hi — OOB DMA + a never-signaled semaphore wait
+    (hardware deadlock; garbage folds in interpret).  Geometry: sp=2,
+    S_loc=256, q_block=64, SW=80 — hop src=0 on shard 1 is visible for
+    q block 0 (row0=256: kv_lo=(256-80+1)//64=2 < kv_hi=4) but q block 3
+    (row0=448) gets kv_lo=5 >= kv_hi=4 pre-clamp.  Parity vs the einsum
+    fold catches the garbage; the clamp makes the block fully masked."""
+    devices = np.array(jax.devices()[:2])
+    mesh = Mesh(devices, ("sp",))
+    B, Hq, Hkv, S, D, W = 2, 4, 2, 512, 128, 80
+    rng = np.random.default_rng(19)
+    q = jnp.asarray(rng.normal(size=(B, Hq, S, D)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(B, Hkv, S, D)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(B, Hkv, S, D)), jnp.float32)
+    tl = jnp.asarray([S, 470], jnp.int32)
+
+    kern = make_ring_attention(mesh, "sp", sliding_window=W, interpret=True,
+                               kernel_q_block=64, kernel_kv_block=64)
+    xla = make_ring_attention(mesh, "sp", sliding_window=W, backend="xla")
+    with mesh:
+        ok = np.asarray(kern(q, k, v, tl))
+        ox = np.asarray(xla(q, k, v, tl))
+    for b, t in enumerate(np.asarray(tl)):
+        np.testing.assert_allclose(ok[b, :, :t], ox[b, :, :t],
+                                   rtol=3e-5, atol=3e-5)
+
+
 def test_ring_kernel_fold_composed_mesh():
     """Kernel fold under the composed (dp, sp, tp) layout: head/batch axes
     shard orthogonally to the ring, matching the sp-only result."""

@@ -216,6 +216,42 @@ except Exception as e:
     failures.append(("batching-int8", "-"))
     print(f"batching+int8 FAIL: {str(e)[:120]}")
 
+# 1e. Sliding-window chunk mode with row offsets PAST the kv buffer (the
+#     ring fold's partially-visible hop geometry): q blocks beyond every
+#     row's window used to drive kv_lo to kv_hi — OOB DMA + a wait on a
+#     never-signaled semaphore (hardware deadlock; round-5 review).  The
+#     clamp must let this RUN; visible rows must match the XLA oracle.
+try:
+    from kvcache_factory_tpu.ops.attention import blocked_causal_attention
+    _qo = jax.random.normal(jax.random.PRNGKey(12), (1, 4, 256, 128),
+                            jnp.bfloat16)
+    _ko = jax.random.normal(jax.random.PRNGKey(13), (1, 1, 256, 128),
+                            jnp.bfloat16)
+    _vo = jax.random.normal(jax.random.PRNGKey(14), (1, 1, 256, 128),
+                            jnp.bfloat16)
+    _tlo = jnp.asarray([512], jnp.int32)
+    _offo = jnp.asarray([256], jnp.int32)  # rows 256..511 over cols 0..255
+    # 128-block minimum: sub-128 lane blocks don't Mosaic-compile (the
+    # scores plane slices at KB-lane granularity); q block 1 (row0=384)
+    # still drives kv_lo to kv_hi=2 pre-clamp — the deadlock geometry.
+    _got3, _ = jax.jit(lambda q, k, v, t, o: flash_prefill_attention_batched(
+        q, k, v, t, 0, q_block=128, kv_block=128, sliding_window=80,
+        row_offset=o))(_qo, _ko, _vo, _tlo, _offo)
+    _ref3 = jax.jit(lambda q, k, v, t, o: blocked_causal_attention(
+        q, k, v, t, sliding_window=80, row_offset=o))(
+        _qo.astype(jnp.float32), _ko.astype(jnp.float32),
+        _vo.astype(jnp.float32), _tlo, _offo)
+    # rows past 334 see no buffer cols (window (r-80, r] misses [0, 255])
+    # and are garbage in BOTH paths; compare the 79 visible rows
+    g3 = np.asarray(_got3, np.float32)[0, :, :79]
+    r3 = np.asarray(_ref3, np.float32)[0, :, :79]
+    rel3 = np.abs(g3 - r3).max() / max(np.abs(r3).max(), 1e-9)
+    assert rel3 < 2e-2, rel3
+    print(f"windowed chunk-mode past-buffer offsets rel={rel3:.1e} OK")
+except Exception as e:
+    failures.append(("windowed-chunk-clamp", "-"))
+    print(f"windowed chunk clamp FAIL: {str(e)[:120]}")
+
 # 2b. Ring-attention kernel fold at sp=1 (round 5): with one shard the
 #     fold is a single hop (src == my, offset 0) through the chunk-mode
 #     kernel + the (m, l) combine — its output must be bit-identical to a
