@@ -166,9 +166,18 @@ def _ring_kernel_fold(q, k, v, true_len, axis_name: str,
     from ..ops.kernels.flash_prefill import flash_prefill_attention_batched
 
     B, Hq, S_loc, D = q.shape
-    n = lax.psum(1, axis_name)
+    n = lax.psum(1, axis_name)  # concrete (the axis size is static)
     my = lax.axis_index(axis_name)
     tl = true_len.astype(jnp.int32)
+
+    if n == 1:
+        # single shard: one hop over our own K/V with offset 0 — the plain
+        # kernel call, no (m, l) plane, no combine (bit-identical to the
+        # fold by construction, cheaper by the ml-plane writes)
+        out, _ = flash_prefill_attention_batched(
+            q, k, v, tl, 0, sliding_window=SW,
+            q_block=q_block, kv_block=kv_block, interpret=interpret)
+        return out
 
     def hop_fold(src, m, l, acc, k_blk, v_blk):
         off = ((my - src) * S_loc).astype(jnp.int32)   # >= 0 (gated below)
