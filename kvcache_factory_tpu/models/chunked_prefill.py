@@ -119,12 +119,15 @@ def chunk_step(
     cos, sin = jnp.cos(emb), jnp.sin(emb)  # [B, Sc, D]
     use_flash = (jax.default_backend() in ("tpu", "axon") and D % 128 == 0)
 
-    # window-store gather indices: target slot j holds global position
-    # true_len - WK + j; its row inside THIS chunk is that minus c0.
-    src = (true_len[:, None] - WK + jnp.arange(WK)[None, :]
-           - c0[:, None])  # [B, WK]
-    src_valid = (src >= 0) & (src < Sc)
-    src_c = jnp.clip(src, 0, Sc - 1)
+    if WK != S:
+        # window-store gather indices: target slot j holds global position
+        # true_len - WK + j; its row inside THIS chunk is that minus c0.
+        # (The full-q store, WK == S, writes rows at their global
+        # positions instead and never reads these.)
+        src = (true_len[:, None] - WK + jnp.arange(WK)[None, :]
+               - c0[:, None])  # [B, WK]
+        src_valid = (src >= 0) & (src < Sc)
+        src_c = jnp.clip(src, 0, Sc - 1)
 
     def write_rows(buf, new):  # [B, H, S, D], [B, H, Sc, D] at row offsets c0
         def one(b, n, c, act):
