@@ -296,6 +296,41 @@ def test_batching_chunked_under_mesh_matches_single_device():
     assert oneshot24 == single
 
 
+def test_batching_chunked_quant_under_mesh():
+    """Chunked admission + the quantized cache + a (dp, tp) mesh compose:
+    finalize's quant build partitions under GSPMD and the drained tokens
+    match the single-device chunked drain."""
+    from kvcache_factory_tpu.config import (EngineConfig, QuantConfig,
+                                            ShardingConfig)
+    from kvcache_factory_tpu.runtime.batching import ContinuousBatchingEngine
+
+    if jax.device_count() < 4:
+        pytest.skip("needs 4 virtual devices")
+    cfg = ModelConfig(model_type="llama", vocab_size=128, hidden_size=128,
+                      intermediate_size=256, num_hidden_layers=2,
+                      num_attention_heads=8, num_key_value_heads=4,
+                      head_dim=16, max_position_embeddings=512,
+                      dtype="float32")
+    params = init_params(cfg, jax.random.PRNGKey(7), dtype=jnp.float32)
+    comp = CompressionConfig(method="snapkv", max_capacity_prompt=32,
+                             window_size=8, kernel_size=7, pooling="maxpool")
+    rng = np.random.default_rng(37)
+    prompts = [rng.integers(0, 128, size=s).tolist() for s in (120, 90)]
+
+    def drain(sharding):
+        ecfg = EngineConfig(model=cfg, compression=comp,
+                            prefill_buckets=(128,), sharding=sharding,
+                            quant=QuantConfig(nbits=8, q_group_size=16))
+        eng = ContinuousBatchingEngine(params, ecfg, n_slots=2,
+                                       max_new_cap=5,
+                                       prefill_chunk_tokens=32)
+        rids = [eng.submit(p, 5) for p in prompts]
+        out = eng.run()
+        return [out[r] for r in rids]
+
+    assert drain(ShardingConfig(dp=2, tp=2)) == drain(ShardingConfig())
+
+
 def test_batching_chunked_prefix_under_mesh():
     """Prefix caching works under the mesh too: snapshots carry their
     shardings and resumed admissions skip the prefix chunks."""
