@@ -42,6 +42,13 @@ def main():
                          "it with cache_prefix() — its chunks prefill once "
                          "and later admissions resume past it (requires "
                          "--prefill_chunk)")
+    ap.add_argument("--dp", type=int, default=1,
+                    help="data-parallel mesh axis: decode slots shard over "
+                         "dp (n_slots must divide)")
+    ap.add_argument("--tp", type=int, default=1,
+                    help="tensor-parallel mesh axis: weights, cache heads, "
+                         "and chunk buffers shard over tp; composes with "
+                         "--prefill_chunk (round 5)")
     ap.add_argument("--prefix_cache_gb", type=float, default=1.5,
                     help="byte budget for prefix-state snapshots (each is a "
                          "bucket-sized full-layer KV buffer: ~370 MB at a "
@@ -51,7 +58,7 @@ def main():
 
     import jax
     from kvcache_factory_tpu.config import (CompressionConfig, EngineConfig,
-                                            ModelConfig)
+                                            ModelConfig, ShardingConfig)
     from kvcache_factory_tpu.models.weights import init_params, load_params
     from kvcache_factory_tpu.runtime.batching import ContinuousBatchingEngine
 
@@ -68,7 +75,8 @@ def main():
     comp = CompressionConfig(method=args.method,
                              max_capacity_prompt=args.capacity, window_size=8)
     ecfg = EngineConfig(model=model_cfg, compression=comp,
-                        prefill_buckets=(128, 256, 512))
+                        prefill_buckets=(128, 256, 512),
+                        sharding=ShardingConfig(dp=args.dp, tp=args.tp))
 
     engine = ContinuousBatchingEngine(
         params, ecfg, n_slots=args.n_slots, max_new_cap=args.max_new,
