@@ -274,10 +274,6 @@ class QuantKVCacheTPU(NamedTuple):
         return self.k_codes.shape[3]
 
 
-def _round_up(x: int, m: int) -> int:
-    return ((x + m - 1) // m) * m
-
-
 def quantize_per_token(x: jnp.ndarray):
     """[..., C, D] -> (codes int8 biased, scale [..., C], zero [..., C])."""
     xf = x.astype(jnp.float32)

@@ -41,7 +41,7 @@ appends all four scalars of the new token.
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -84,11 +84,11 @@ def _quant_decode_kernel(C: int, BLK: int, NC: int, G: int, D: int, H: int,
                          out_ref,               # VMEM [1, G, D]
                          kco, vco, sco,         # aliased outputs
                          kc_s, vc_s,            # VMEM [N_SLOTS, BLK, D] int8
-                         sc_s,                  # VMEM [2, 4, C] bf16
+                         sc_s,                  # VMEM [3, 4, C] bf16
                          kctile, vctile,        # VMEM [CODE_TILE, D] int8
                          stile,                 # VMEM [4, TOK_BLK] bf16
                          chunk_sems,            # DMA sems [N_SLOTS, 2]
-                         plane_sems,            # DMA sems [2]
+                         plane_sems,            # DMA sems [3]
                          app_sems):             # DMA sems [3]
     h = pl.program_id(0)
     li = lidx_ref[0]
@@ -339,32 +339,23 @@ def quant_decode_attention_append_stacked(
     return out, kc, vc, sc, jnp.minimum(lengths + 1, C)
 
 
-def quant_decode_attention_append_stacked_sharded(
-    mesh,                   # jax.sharding.Mesh with "dp" and "tp" axes
-    q: jnp.ndarray,         # [B, H, G, D] (H = cache heads, NOT fused with B)
-    k_codes: jnp.ndarray,   # [Lyr, B, H, C, D] int8
-    v_codes: jnp.ndarray,   # [Lyr, B, H, C, D] int8
-    scales: jnp.ndarray,    # [Lyr, B, H, 4, C] bf16
-    lengths: jnp.ndarray,   # [B, H] int32 (this layer)
-    layer: jnp.ndarray,     # [] int32
-    k_new: jnp.ndarray,     # [B, H, D] fp
-    v_new: jnp.ndarray,
-    interpret: bool = False,
-    lower: Optional[jnp.ndarray] = None,  # [B, H] int32 window lo bound
-):
-    """Multi-device INT8 quant decode (VERDICT round-3 #2): batch shards over
-    ``dp``, cache heads over ``tp``; every device runs the single-chip fused
-    dequant kernel on its [B/dp, H/tp] tile.  The kernel is head-local (codes
-    + the wide scale planes + lens all tile the same way, no collectives in
-    the attention), so this is the bf16 sharded wrapper
-    (decode_attn.py::decode_attention_append_stacked_sharded) applied to the
-    quant stacks — the repo's best serving numbers were previously
-    unreachable on any mesh (runtime gates dropped this round).
+def _sharded_quant_decode(inner, mesh, q, k_codes, v_codes, scales,
+                          lengths, layer, k_new, v_new, interpret, lower):
+    """Shared (dp, tp) shard_map plumbing for the int8/int4 fused-dequant
+    kernels (round-5 review: the two wrappers were ~55-line near-verbatim
+    copies — spec/assert fixes could silently miss one).  ``inner`` is the
+    single-chip stacked kernel; the code-plane row count is read off
+    ``k_codes`` (C for int8, C//2 for int4 token-block nibbles) and the
+    scale planes always carry [N_PLANES, C].  Batch shards over ``dp``,
+    cache heads over ``tp``; the kernel is head-local (codes + wide scale
+    planes + lens all tile the same way, no collectives), exactly like the
+    bf16 wrapper (decode_attn.py::decode_attention_append_stacked_sharded).
     No reference counterpart — north-star tokens/s at scale."""
     from jax.sharding import PartitionSpec as P
 
     B, H, G, D = q.shape
-    Lyr, _, _, C, _ = k_codes.shape
+    Lyr, _, _, Cc, _ = k_codes.shape   # code rows: C (int8) | C//2 (int4)
+    Cs = scales.shape[-1]              # scale-plane lanes: always C
     dp = mesh.shape.get("dp", 1)
     tp = mesh.shape.get("tp", 1)
     assert B % dp == 0 and H % tp == 0, (
@@ -376,15 +367,16 @@ def quant_decode_attention_append_stacked_sharded(
     def local(q4, kcs, vcs, scs, lens2, li, kn, vn, lo2):
         Bl, Hl = q4.shape[0], q4.shape[1]
         BHl = Bl * Hl
-        out, kc_o, vc_o, sc_o, lens_o = quant_decode_attention_append_stacked(
-            q4.reshape(BHl, G, D), kcs.reshape(Lyr, BHl, C, D),
-            vcs.reshape(Lyr, BHl, C, D), scs.reshape(Lyr, BHl, N_PLANES, C),
+        out, kc_o, vc_o, sc_o, lens_o = inner(
+            q4.reshape(BHl, G, D), kcs.reshape(Lyr, BHl, Cc, D),
+            vcs.reshape(Lyr, BHl, Cc, D),
+            scs.reshape(Lyr, BHl, N_PLANES, Cs),
             lens2.reshape(BHl), li, kn.reshape(BHl, D), vn.reshape(BHl, D),
             interpret=interpret, lower=lo2.reshape(BHl))
         return (out.reshape(Bl, Hl, G, D),
-                kc_o.reshape(Lyr, Bl, Hl, C, D),
-                vc_o.reshape(Lyr, Bl, Hl, C, D),
-                sc_o.reshape(Lyr, Bl, Hl, N_PLANES, C),
+                kc_o.reshape(Lyr, Bl, Hl, Cc, D),
+                vc_o.reshape(Lyr, Bl, Hl, Cc, D),
+                sc_o.reshape(Lyr, Bl, Hl, N_PLANES, Cs),
                 lens_o.reshape(Bl, Hl))
 
     fn = jax.shard_map(
@@ -397,64 +389,29 @@ def quant_decode_attention_append_stacked_sharded(
         check_vma=False)
     return fn(q, k_codes, v_codes, scales, lengths,
               jnp.asarray(layer, jnp.int32).reshape(()), k_new, v_new, lower)
+
+
+def quant_decode_attention_append_stacked_sharded(
+    mesh, q, k_codes, v_codes, scales, lengths, layer, k_new, v_new,
+    interpret: bool = False, lower=None,
+):
+    """Multi-device INT8 quant decode (VERDICT round-3 #2) — see
+    :func:`_sharded_quant_decode`."""
+    return _sharded_quant_decode(
+        quant_decode_attention_append_stacked, mesh, q, k_codes, v_codes,
+        scales, lengths, layer, k_new, v_new, interpret, lower)
 
 
 def quant4_decode_attention_append_stacked_sharded(
-    mesh,                   # jax.sharding.Mesh with "dp" and "tp" axes
-    q: jnp.ndarray,         # [B, H, G, D]
-    k_codes: jnp.ndarray,   # [Lyr, B, H, C//2, D] int8 (token-block nibbles)
-    v_codes: jnp.ndarray,   # [Lyr, B, H, C//2, D] int8
-    scales: jnp.ndarray,    # [Lyr, B, H, 4, C] bf16
-    lengths: jnp.ndarray,   # [B, H] int32 (this layer)
-    layer: jnp.ndarray,     # [] int32
-    k_new: jnp.ndarray,     # [B, H, D] fp
-    v_new: jnp.ndarray,
-    interpret: bool = False,
-    lower: Optional[jnp.ndarray] = None,  # [B, H] int32 window lo bound
+    mesh, q, k_codes, v_codes, scales, lengths, layer, k_new, v_new,
+    interpret: bool = False, lower=None,
 ):
-    """INT4 variant of :func:`quant_decode_attention_append_stacked_sharded`
-    — the nibble planes tile over (dp, tp) exactly like the int8 codes (the
-    token-block packing lives inside each head's [C2, D] plane)."""
-    from jax.sharding import PartitionSpec as P
-
-    B, H, G, D = q.shape
-    Lyr, _, _, C2, _ = k_codes.shape
-    C = 2 * C2
-    dp = mesh.shape.get("dp", 1)
-    tp = mesh.shape.get("tp", 1)
-    assert B % dp == 0 and H % tp == 0, (
-        f"batch {B} %% dp {dp} and cache heads {H} %% tp {tp} must be 0")
-
-    if lower is None:
-        lower = jnp.zeros((B, H), jnp.int32)
-
-    def local(q4, kcs, vcs, scs, lens2, li, kn, vn, lo2):
-        Bl, Hl = q4.shape[0], q4.shape[1]
-        BHl = Bl * Hl
-        out, kc_o, vc_o, sc_o, lens_o = \
-            quant4_decode_attention_append_stacked(
-                q4.reshape(BHl, G, D), kcs.reshape(Lyr, BHl, C2, D),
-                vcs.reshape(Lyr, BHl, C2, D),
-                scs.reshape(Lyr, BHl, N_PLANES, C),
-                lens2.reshape(BHl), li, kn.reshape(BHl, D),
-                vn.reshape(BHl, D), interpret=interpret,
-                lower=lo2.reshape(BHl))
-        return (out.reshape(Bl, Hl, G, D),
-                kc_o.reshape(Lyr, Bl, Hl, C2, D),
-                vc_o.reshape(Lyr, Bl, Hl, C2, D),
-                sc_o.reshape(Lyr, Bl, Hl, N_PLANES, C),
-                lens_o.reshape(Bl, Hl))
-
-    fn = jax.shard_map(
-        local, mesh=mesh,
-        in_specs=(P("dp", "tp"), P(None, "dp", "tp"), P(None, "dp", "tp"),
-                  P(None, "dp", "tp"), P("dp", "tp"), P(),
-                  P("dp", "tp"), P("dp", "tp"), P("dp", "tp")),
-        out_specs=(P("dp", "tp"), P(None, "dp", "tp"), P(None, "dp", "tp"),
-                   P(None, "dp", "tp"), P("dp", "tp")),
-        check_vma=False)
-    return fn(q, k_codes, v_codes, scales, lengths,
-              jnp.asarray(layer, jnp.int32).reshape(()), k_new, v_new, lower)
+    """INT4 variant: the nibble planes tile over (dp, tp) exactly like the
+    int8 codes (the token-block packing lives inside each head's [C2, D]
+    plane) — see :func:`_sharded_quant_decode`."""
+    return _sharded_quant_decode(
+        quant4_decode_attention_append_stacked, mesh, q, k_codes, v_codes,
+        scales, lengths, layer, k_new, v_new, interpret, lower)
 
 
 def quant_decode_attention_append(
@@ -530,11 +487,11 @@ def _quant4_decode_kernel(C: int, BLK: int, NC: int, G: int, D: int, H: int,
                           out_ref,               # VMEM [1, G, D]
                           kco, vco, sco,         # aliased outputs
                           kc_s, vc_s,            # VMEM [N_SLOTS, BLK, D] int8
-                          sc_s,                  # VMEM [2, 4, C] bf16
+                          sc_s,                  # VMEM [3, 4, C] bf16
                           kctile, vctile,        # VMEM [CODE_TILE, D] int8
                           stile,                 # VMEM [4, TOK_BLK] bf16
                           chunk_sems,            # DMA sems [N_SLOTS, 2]
-                          plane_sems,            # DMA sems [2]
+                          plane_sems,            # DMA sems [3]
                           app_sems):             # DMA sems [3]
     C2 = C // 2
     h = pl.program_id(0)

@@ -56,7 +56,7 @@ from ..cache.kv_cache import append_layer, valid_mask
 from ..config import ModelConfig, dtype_of
 from ..models.llama import (_merge_heads, _split_heads, apply_rope,
                             ffn_block, grouped_attention, rms_norm,
-                            rope_inv_freq, rope_tables, swiglu_fused)
+                            rope_inv_freq, rope_tables)
 from ..ops.attention import blocked_causal_attention
 from ..policies.methods import LayerContext, compress_prefill
 
@@ -123,9 +123,11 @@ def pipeline_forward(
                 h = h + lp["o_bias"]
             x = x + h
             h2 = rms_norm(x, lp["post_norm"], cfg.rms_norm_eps)
-            return x + swiglu_fused(h2, lp["gate_up_proj"], lp["down_proj"],
-                                    lp.get("gate_up_bias"),
-                                    lp.get("down_bias")), None
+            # ffn_block, not swiglu_fused directly: MoE (Mixtral) layers
+            # route through moe_ffn — calling the dense path broke pp for
+            # MoE configs (round-5 review; pp_generate below already did
+            # this correctly).
+            return x + ffn_block(h2, lp, cfg), None
         x, _ = lax.scan(layer_fn, x, layers)
         return x
 
