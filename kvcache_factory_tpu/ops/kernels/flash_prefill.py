@@ -286,8 +286,13 @@ def _flash_kernel(S: int, QB: int, KB: int, D: int, G: int, W: int,
     l_safe = jnp.where(l == 0.0, 1.0, l)
     o_ref[0, 0] = (acc / l_safe).astype(o_ref.dtype)
     if emit_ml:
-        # raw (m, l), not l_safe: a fully-masked row must read back as
-        # (finfo.min, 0) so the hop combine weighs it to zero
+        # raw (m, l), not l_safe.  NOTE a fully-masked row does NOT read
+        # back l == 0: masked logits are finfo.min (finite), so each masked
+        # column contributes exp(0) = 1 and l sums to the folded column
+        # count, with m = finfo.min.  The hop combine still weighs such a
+        # row to zero because beta = exp(finfo.min - m_new) underflows to
+        # exactly 0.0 whenever any other hop saw a real column.  Do NOT use
+        # l == 0 to detect fully-masked rows downstream — test m instead.
         ml_ref[0, 0, :, 0:128] = jnp.broadcast_to(m, (QB, 128))
         ml_ref[0, 0, :, 128:256] = jnp.broadcast_to(l, (QB, 128))
 

@@ -185,9 +185,14 @@ def _ring_kernel_fold(q, k, v, true_len, axis_name: str,
             q, k_blk, v_blk, tl - src * S_loc, 0, sliding_window=SW,
             row_offset=jnp.broadcast_to(off, (B,)), return_ml=True,
             q_block=q_block, kv_block=kv_block, interpret=interpret)
-        # exact online-softmax combine of two partial attentions; a row
-        # fully masked in THIS hop reads (m_h, l_h) = (finfo.min, 0), so
-        # beta * l_h == 0 and it contributes nothing
+        # exact online-softmax combine of two partial attentions.  A row
+        # fully masked in THIS hop reads m_h = finfo.min but l_h = the
+        # folded column count (masked logits are finite finfo.min, so each
+        # contributes exp(0) = 1 in the kernel — see the emit_ml note in
+        # flash_prefill.py); the hop still contributes nothing because
+        # beta = exp(finfo.min - m_new) underflows to exactly 0.0 whenever
+        # any hop saw a real column.  Rows masked in EVERY hop (beyond
+        # true_len) fold garbage but are never read.
         m_new = jnp.maximum(m, m_h)
         alpha = jnp.exp(m - m_new)
         beta = jnp.exp(m_h - m_new)
@@ -255,9 +260,13 @@ def make_ring_attention(mesh, axis_name: str = "sp",
         mesh=mesh,
         in_specs=(spec, spec, spec, P(batch_axis)),
         out_specs=spec,
-        # check_vma off: pallas_call's interpret machinery mixes varying
-        # and invariant operands in its internal dynamic_slices, which the
-        # vma checker rejects (jax suggests this exact workaround).  The
-        # folds' pcast calls no-op gracefully without tracking.
-        check_vma=False,
+        # check_vma only when the einsum fold is guaranteed (backend
+        # "xla"): pallas_call's interpret machinery mixes varying and
+        # invariant operands in its internal dynamic_slices, which the vma
+        # checker rejects (jax suggests this exact workaround), so the
+        # kernel/interpret paths must disable it.  Keeping it ON for the
+        # xla backend preserves the replication-typing safety net that
+        # caught the round-4 composed-mesh pcast bugs; the folds' pcast
+        # calls no-op gracefully when tracking is off.
+        check_vma=(backend == "xla"),
     )

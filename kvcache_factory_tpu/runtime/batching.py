@@ -186,8 +186,12 @@ class ContinuousBatchingEngine:
         # dispatch per pending slot per loop, nearly doubling the admission
         # stall it existed to bound whenever two prompts admitted together.
         # Pools start at one row and double on demand (each growth
-        # recompiles chunk_step for the new batch size, then caches); a
-        # pool persists at its peak-concurrency size for engine lifetime.
+        # recompiles chunk_step for the new batch size, then caches), and
+        # HALVE when live rows fit in half the pool (compacting to the
+        # front) — without shrink, every admission after a concurrency
+        # burst would pay the peak batch's full per-chunk compute, since
+        # inert tl=0 rows still run all layers' matmuls.  Power-of-two
+        # sizes mean the halved program is already compiled.
         self._chunk_groups: Dict[int, dict] = {}
         self.prefill_chunks_executed = 0   # row-chunks advanced
         self.prefill_chunk_dispatches = 0  # chunk_step calls issued
@@ -330,6 +334,35 @@ class ContinuousBatchingEngine:
                and self._prefix_state_bytes() > self._prefix_cache_bytes):
             self._prefix_states.pop(next(iter(self._prefix_states)))
 
+    def _shrink_chunk_group(self, g: dict) -> None:
+        """Halve a chunk pool whose live rows fit in half of it, compacting
+        them to the front.  Dispatch cost is linear in pool size (inert
+        tl=0 rows still run every layer's matmuls and the bucket-sized
+        chunk attention), so after a concurrency burst a grown pool would
+        tax every later admission in the bucket with the PEAK batch's
+        per-chunk compute.  Halving bounds the dispatch batch to < 2x the
+        pending count; power-of-two sizes mean the smaller chunk_step
+        program is already compiled from the growth path.  The gather
+        produces fresh device buffers, so donation of the old pool state
+        is moot and snapshots taken from the old layout stay valid."""
+        newP = g["P"] // 2
+        live = sorted(g["rows"])
+        iv = jnp.asarray(live + [0] * (newP - len(live)), jnp.int32)
+        kb, vb, qw, xl = g["state"]
+        take = lambda buf: jnp.take(buf, iv, axis=1)
+        g["state"] = self._shard_chunk_state(
+            (take(kb), take(vb), take(qw), jnp.take(xl, iv, axis=0)))
+        toks = np.zeros((newP, g["toks"].shape[1]), np.int32)
+        tl = np.zeros((newP,), np.int32)
+        c0 = np.zeros((newP,), np.int32)
+        rows = {}
+        for j, r in enumerate(live):
+            toks[j], tl[j], c0[j] = g["toks"][r], g["tl"][r], g["c0"][r]
+            rows[j] = g["rows"][r]
+        g["toks"], g["tl"], g["c0"], g["rows"] = toks, tl, c0, rows
+        g["free"] = list(range(len(live), newP))
+        g["P"] = newP
+
     def _advance_chunked_groups(self):
         """Advance EVERY pending admission by one chunk — one chunk_step
         dispatch per bucket pool, regardless of how many rows are pending
@@ -341,6 +374,8 @@ class ContinuousBatchingEngine:
         for bucket, g in self._chunk_groups.items():
             if not g["rows"]:
                 continue
+            while g["P"] > 1 and len(g["rows"]) <= g["P"] // 2:
+                self._shrink_chunk_group(g)
             toks_c = np.zeros((g["P"], Sc), np.int32)
             for r in g["rows"]:
                 toks_c[r] = g["toks"][r, g["c0"][r]:g["c0"][r] + Sc]

@@ -256,6 +256,87 @@ def test_concurrent_admissions_share_one_dispatch():
     assert eng.prefill_chunk_dispatches <= 5, eng.prefill_chunk_dispatches
 
 
+def test_chunk_pool_shrinks_after_concurrency_burst():
+    """A pool grown for a concurrency burst HALVES back once live rows fit
+    in half of it — otherwise every later admission in the bucket would
+    pay the peak batch's full per-chunk compute (inert tl=0 rows still
+    run all layers' matmuls).  Outputs must stay exact through the
+    compaction, including for rows still mid-prefill when the shrink
+    happens."""
+    from kvcache_factory_tpu.config import EngineConfig
+    from kvcache_factory_tpu.runtime.batching import ContinuousBatchingEngine
+
+    cfg = ModelConfig(model_type="llama", vocab_size=128, hidden_size=128,
+                      intermediate_size=256, num_hidden_layers=2,
+                      num_attention_heads=8, num_key_value_heads=4,
+                      head_dim=16, max_position_embeddings=512,
+                      dtype="float32")
+    params = init_params(cfg, jax.random.PRNGKey(7), dtype=jnp.float32)
+    comp = CompressionConfig(method="snapkv", max_capacity_prompt=32,
+                             window_size=8, kernel_size=7, pooling="maxpool")
+    ecfg = EngineConfig(model=cfg, compression=comp, prefill_buckets=(128,))
+    rng = np.random.default_rng(31)
+    # 4 long prompts burst together (pool doubles 1->2->4); the straggler
+    # waits for a slot (n_slots=4) and so admits alone afterwards
+    burst = [rng.integers(0, 128, size=s).tolist()
+             for s in (120, 110, 100, 90)]
+    straggler = rng.integers(0, 128, size=40).tolist()
+    max_new = 5
+
+    plain = ContinuousBatchingEngine(params, ecfg, n_slots=4,
+                                     max_new_cap=max_new)
+    rids_p = [plain.submit(p, max_new) for p in burst + [straggler]]
+    out_p = plain.run()
+
+    eng = ContinuousBatchingEngine(params, ecfg, n_slots=4,
+                                   max_new_cap=max_new,
+                                   prefill_chunk_tokens=32)
+    rids = [eng.submit(p, max_new) for p in burst + [straggler]]
+    out = eng.run()
+    for rp, rc in zip(rids_p, rids):
+        assert out_p[rp] == out[rc], (out_p[rp], out[rc])
+    # the burst grew the pool to 4; once only the straggler (and then
+    # nothing) remained live it halved back to 1
+    assert eng._chunk_groups[128]["P"] == 1, eng._chunk_groups[128]["P"]
+
+
+def test_chunk_pool_shrink_preserves_midflight_rows():
+    """Shrink compacts live rows mid-prefill: two long prompts plus two
+    short ones admit together (pool = 4); the short ones finish first, the
+    pool halves to 2 while the long prompts still have chunks left, and
+    their outputs stay exact."""
+    from kvcache_factory_tpu.config import EngineConfig
+    from kvcache_factory_tpu.runtime.batching import ContinuousBatchingEngine
+
+    cfg = ModelConfig(model_type="llama", vocab_size=128, hidden_size=128,
+                      intermediate_size=256, num_hidden_layers=2,
+                      num_attention_heads=8, num_key_value_heads=4,
+                      head_dim=16, max_position_embeddings=512,
+                      dtype="float32")
+    params = init_params(cfg, jax.random.PRNGKey(7), dtype=jnp.float32)
+    comp = CompressionConfig(method="snapkv", max_capacity_prompt=32,
+                             window_size=8, kernel_size=7, pooling="maxpool")
+    ecfg = EngineConfig(model=cfg, compression=comp, prefill_buckets=(128,))
+    rng = np.random.default_rng(37)
+    prompts = [rng.integers(0, 128, size=s).tolist()
+               for s in (128, 120, 33, 34)]
+    max_new = 5
+
+    plain = ContinuousBatchingEngine(params, ecfg, n_slots=4,
+                                     max_new_cap=max_new)
+    rids_p = [plain.submit(p, max_new) for p in prompts]
+    out_p = plain.run()
+
+    eng = ContinuousBatchingEngine(params, ecfg, n_slots=4,
+                                   max_new_cap=max_new,
+                                   prefill_chunk_tokens=32)
+    rids = [eng.submit(p, max_new) for p in prompts]
+    out = eng.run()
+    for rp, rc in zip(rids_p, rids):
+        assert out_p[rp] == out[rc], (out_p[rp], out[rc])
+    assert eng._chunk_groups[128]["P"] == 2, eng._chunk_groups[128]["P"]
+
+
 def test_batching_chunked_under_mesh_matches_single_device():
     """Chunked admission composes with a (dp, tp) mesh (round-5 headline):
     chunk buffers shard over tp kv-heads / dp rows and outputs are
