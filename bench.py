@@ -53,6 +53,11 @@ def main():
                          "beyond-reference decode-compression feature; runs "
                          "the XLA decode path (no kernel for this cache) — "
                          "this flag prices that tradeoff (VERDICT r4 #6)")
+    ap.add_argument("--wq8", action="store_true",
+                    help="weight-only int8 quantization (W8A16): halves the "
+                         "weight stream, the dominant decode term at every "
+                         "measured batch size (models/weights.py::"
+                         "quantize_weights)")
     ap.add_argument("--tp1_shard", action="store_true",
                     help="run decode through the shard_map'd kernel wrappers "
                          "over a 1-device (dp, tp) mesh — measures the "
@@ -80,6 +85,9 @@ def main():
     cache_capacity = -(-cache_capacity // align) * align
 
     params = init_params(cfg, jax.random.PRNGKey(0))
+    if args.wq8:
+        from kvcache_factory_tpu.models.weights import quantize_weights
+        params = quantize_weights(params)
     tokens = jnp.asarray(
         np.random.default_rng(0).integers(0, cfg.vocab_size, (B, S)), jnp.int32)
     true_len = jnp.full((B,), S, jnp.int32)
@@ -153,6 +161,7 @@ def main():
         "cache_gb": round(cache_bytes / 1e9, 2),
         "config": {"prompt": S, "capacity": args.capacity, "batch": B,
                    "method": args.method, "nbits": args.nbits,
+                   "wq8": args.wq8,
                    "group_reduce": args.group_reduce,
                    "model": "tinyllama-1.1b-shape"},
     }

@@ -49,6 +49,9 @@ def main():
                     help="tensor-parallel mesh axis: weights, cache heads, "
                          "and chunk buffers shard over tp; composes with "
                          "--prefill_chunk (round 5)")
+    ap.add_argument("--wq8", action="store_true",
+                    help="weight-only int8 (W8A16): halves the decode "
+                         "weight stream — the dominant serving cost")
     ap.add_argument("--prefix_cache_gb", type=float, default=1.5,
                     help="byte budget for prefix-state snapshots (each is a "
                          "bucket-sized full-layer KV buffer: ~370 MB at a "
@@ -71,6 +74,9 @@ def main():
             num_attention_heads=4, num_key_value_heads=2, head_dim=64,
             max_position_embeddings=2048)
         params = init_params(model_cfg, jax.random.PRNGKey(0))
+    if args.wq8:
+        from kvcache_factory_tpu.models.weights import quantize_weights
+        params = quantize_weights(params)
 
     comp = CompressionConfig(method=args.method,
                              max_capacity_prompt=args.capacity, window_size=8)

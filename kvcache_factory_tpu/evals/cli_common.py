@@ -54,6 +54,12 @@ def add_engine_args(ap: argparse.ArgumentParser) -> None:
                     choices=[None, "kvquant"])
     ap.add_argument("--nbits", type=int, default=8,
                     help="KV cache bit-width: 1/2/3/4/8 (reference HQQ range)")
+    ap.add_argument("--wq8", action="store_true",
+                    help="weight-only int8 quantization (W8A16): halves the "
+                         "decode weight stream (the dominant term at every "
+                         "measured batch size) at ~0.6%% per-weight RMS "
+                         "error; composes with --quant_method (independent "
+                         "subsystems).  No reference counterpart")
     ap.add_argument("--residual_length", type=int, default=0,
                     help="recent tokens kept full-precision alongside the "
                          "quantized cache (reference sets output_max_len, "
@@ -147,6 +153,9 @@ def build_engine_from_args(args) -> Tuple[InferenceEngine, object, str]:
     tokenizer = AutoTokenizer.from_pretrained(args.model_path, use_fast=True,
                                               padding_side="left")
     params, model_cfg = load_params(args.model_path)
+    if getattr(args, "wq8", False):
+        from ..models.weights import quantize_weights
+        params = quantize_weights(params)
     comp = compression_from_args(args)
     cap, capacity_ratio = resolve_capacity(args)
 

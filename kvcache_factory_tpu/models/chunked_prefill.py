@@ -68,7 +68,7 @@ from ..ops.attention import blocked_causal_attention
 from ..policies.methods import LayerContext, compress_prefill
 from .llama import (PrefillResult, _merge_heads, _split_heads, apply_rope,
                     build_cache_from_packed, ffn_block, rms_norm,
-                    rope_inv_freq)
+                    rope_inv_freq, wdot)
 
 def _check_supported(comp: CompressionConfig):
     if comp.sparse_prefill is not None:
@@ -141,7 +141,7 @@ def chunk_step(
         x, kbuf, vbuf, qwin = carry
         lp, li = scanned
         h = rms_norm(x, lp["input_norm"], cfg.rms_norm_eps)
-        qkv = h @ lp["qkv_proj"]
+        qkv = wdot(h, lp["qkv_proj"])
         if "qkv_bias" in lp:
             qkv = qkv + lp["qkv_bias"]
         q = _split_heads(qkv[..., :Hq * D], Hq, D)
@@ -189,7 +189,7 @@ def chunk_step(
             attn = blocked_causal_attention(q, kl, vl, true_len,
                                             cfg.sliding_window,
                                             row_offset=c0)
-        h = _merge_heads(attn) @ lp["o_proj"]
+        h = wdot(_merge_heads(attn), lp["o_proj"])
         if "o_bias" in lp:
             h = h + lp["o_bias"]
         x = x + h
@@ -323,7 +323,7 @@ def finalize(
             per_layer, None, (kbuf, vbuf, qwin, layer_ids, hc, keys))
 
     xf = rms_norm(x_last[:, None], params["final_norm"], cfg.rms_norm_eps)
-    logits_last = (xf[:, 0] @ params["lm_head"]).astype(jnp.float32)
+    logits_last = wdot(xf[:, 0], params["lm_head"]).astype(jnp.float32)
 
     cache = build_cache_from_packed(cfg, comp, quant, k_all, v_all, len_all,
                                     channels_all, true_len, cache_capacity,

@@ -37,6 +37,31 @@ from ..policies.methods import LayerContext, compress_prefill
 # ---------------------------------------------------------------------------
 
 
+def wdot(x: jnp.ndarray, w) -> jnp.ndarray:
+    """``x @ w`` where ``w`` may be weight-only-quantized (W8A16).
+
+    Quantized weights are ``{"q": int8 [..., in, out], "s": f32
+    [..., 1, out]}`` (``models/weights.py::quantize_weights``).  The
+    per-OUT-channel scale commutes with the contraction over the input
+    axis — ``x @ (q * s_col) == (x @ q) * s_col`` — so dequantization is a
+    cheap post-dot multiply and XLA streams the int8 bytes from HBM,
+    fusing the convert into the dot read (measured on v5e:
+    ``tools/bench_wquant_probe.py``, 1.84x on the decode FFN chain —
+    decode is weight-bandwidth-bound, BASELINE.md attribution).  No
+    reference counterpart: the reference quantizes only the KV cache
+    (pyramidkv/quantcache.py); weight streaming is the larger term at
+    every measured batch size."""
+    if isinstance(w, dict):
+        return (x @ w["q"].astype(x.dtype)) * jnp.squeeze(
+            w["s"], -2).astype(x.dtype)
+    return x @ w
+
+
+def wshape(w) -> tuple:
+    """Shape of a possibly weight-quantized matrix."""
+    return w["q"].shape if isinstance(w, dict) else w.shape
+
+
 def rms_norm(x: jnp.ndarray, weight: jnp.ndarray, eps: float) -> jnp.ndarray:
     xf = x.astype(jnp.float32)
     var = jnp.mean(jnp.square(xf), axis=-1, keepdims=True)
@@ -139,12 +164,12 @@ def grouped_attention(
 def swiglu_fused(x: jnp.ndarray, gate_up_w: jnp.ndarray,
                  down_w: jnp.ndarray, gate_up_b=None,
                  down_b=None) -> jnp.ndarray:
-    gu = x @ gate_up_w
+    gu = wdot(x, gate_up_w)
     if gate_up_b is not None:  # mlp_bias=True checkpoints
         gu = gu + gate_up_b
-    ffn = gate_up_w.shape[-1] // 2
+    ffn = wshape(gate_up_w)[-1] // 2
     g = jax.nn.silu(gu[..., :ffn])
-    out = (g * gu[..., ffn:]) @ down_w
+    out = wdot(g * gu[..., ffn:], down_w)
     return out if down_b is None else out + down_b
 
 
@@ -188,21 +213,34 @@ def moe_ffn(x: jnp.ndarray, lp: dict, cfg: ModelConfig,
     combined [B, h] OUTPUT, not weights."""
     E, top_k = cfg.num_local_experts, cfg.num_experts_per_tok
     gw, dw = lp["gate_up_proj"], lp["down_proj"]  # [E, h, 2f], [E, f, h]
-    F = gw.shape[-1] // 2
+    F = wshape(gw)[-1] // 2
     combine, topi, topv = moe_router(x, lp["router"], top_k)
     B, T, _ = x.shape
+
+    def ein(subs, a, w, s_bcast):
+        """einsum against a possibly-quantized expert weight; the per-out-
+        channel scale (axis -2 squeezed, reshaped to ``s_bcast`` for the
+        output layout) commutes to a post-einsum multiply — see wdot."""
+        if isinstance(w, dict):
+            out = jnp.einsum(subs, a, w["q"].astype(a.dtype))
+            return out * jnp.squeeze(w["s"], -2).reshape(
+                s_bcast).astype(a.dtype)
+        return jnp.einsum(subs, a, w)
+
     if T == 1 and B * top_k <= E // 2 and not force_dense:
-        gw_sel = gw[topi[:, 0]]  # [B, k, h, 2f] gather of selected experts
-        dw_sel = dw[topi[:, 0]]  # [B, k, f, h]
+        take = (lambda w, i: {"q": w["q"][i], "s": w["s"][i]}
+                if isinstance(w, dict) else w[i])
+        gw_sel = take(gw, topi[:, 0])  # [B, k, h, 2f] selected experts
+        dw_sel = take(dw, topi[:, 0])  # [B, k, f, h]
         xb = x[:, 0]
-        gu = jnp.einsum("bh,bkhf->bkf", xb, gw_sel)
+        gu = ein("bh,bkhf->bkf", xb, gw_sel, (B, top_k, 2 * F))
         g = jax.nn.silu(gu[..., :F]) * gu[..., F:]
-        eo = jnp.einsum("bkf,bkfh->bkh", g, dw_sel)
+        eo = ein("bkf,bkfh->bkh", g, dw_sel, (B, top_k, -1))
         return jnp.einsum("bkh,bk->bh", eo,
                           topv[:, 0].astype(x.dtype))[:, None]
-    gu = jnp.einsum("bth,ehf->betf", x, gw)
+    gu = ein("bth,ehf->betf", x, gw, (1, E, 1, 2 * F))
     g = jax.nn.silu(gu[..., :F]) * gu[..., F:]
-    eo = jnp.einsum("betf,efh->beth", g, dw)
+    eo = ein("betf,efh->beth", g, dw, (1, E, 1, -1))
     return jnp.einsum("beth,bte->bth", eo, combine.astype(x.dtype))
 
 
@@ -326,7 +364,7 @@ def prefill(
     def layer_fn(x, scanned):
         lp, layer_idx, hc, sb, key = scanned
         h = rms_norm(x, lp["input_norm"], cfg.rms_norm_eps)
-        qkv = h @ lp["qkv_proj"]
+        qkv = wdot(h, lp["qkv_proj"])
         if "qkv_bias" in lp:  # Qwen2-family QKV bias
             qkv = qkv + lp["qkv_bias"]
         q = _split_heads(qkv[..., :Hq * D], Hq, D)
@@ -382,7 +420,7 @@ def prefill(
             # (llama_model.py:2243-2245).
             attn = blocked_causal_attention(q, k, v, true_len,
                                             cfg.sliding_window)
-        h = _merge_heads(attn) @ lp["o_proj"]
+        h = wdot(_merge_heads(attn), lp["o_proj"])
         if "o_bias" in lp:  # attention_bias=True checkpoints
             h = h + lp["o_bias"]
         x = x + h
@@ -437,9 +475,9 @@ def prefill(
     # Logits at each example's last valid token.
     last_idx = jnp.maximum(true_len - 1, 0)
     x_last = jnp.take_along_axis(x, last_idx[:, None, None], axis=1)[:, 0]
-    logits_last = (x_last @ lm_head).astype(jnp.float32)
+    logits_last = wdot(x_last, lm_head).astype(jnp.float32)
 
-    all_logits = (x @ lm_head).astype(jnp.float32) if return_all_logits else None
+    all_logits = wdot(x, lm_head).astype(jnp.float32) if return_all_logits else None
 
     cache = build_cache_from_packed(cfg, comp, quant, k_all, v_all, len_all,
                                     channels_all, true_len, cache_capacity,
@@ -622,7 +660,7 @@ def decode_step(
 
     def qkv_rope(x, lp):
         h = rms_norm(x, lp["input_norm"], cfg.rms_norm_eps)
-        qkv = h @ lp["qkv_proj"]
+        qkv = wdot(h, lp["qkv_proj"])
         if "qkv_bias" in lp:  # Qwen2-family QKV bias
             qkv = qkv + lp["qkv_bias"]
         q = _split_heads(qkv[..., :Hq * D], Hq, D)
@@ -637,7 +675,7 @@ def decode_step(
         return q, k, v
 
     def finish_layer(x, attn, lp):
-        h = _merge_heads(attn) @ lp["o_proj"]
+        h = wdot(_merge_heads(attn), lp["o_proj"])
         if "o_bias" in lp:  # attention_bias=True checkpoints
             h = h + lp["o_bias"]
         x = x + h
@@ -678,7 +716,7 @@ def decode_step(
             layer_fn_tp, carry0,
             (params["layers"], jnp.arange(L, dtype=jnp.int32)))
         x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
-        logits = (x[:, 0] @ params["lm_head"]).astype(jnp.float32)  # [B, V]
+        logits = wdot(x[:, 0], params["lm_head"]).astype(jnp.float32)  # [B, V]
         new_cache = KVCache(k=k_all, v=v_all, lengths=lens_all,
                             positions=cache.positions + 1)
         return logits, new_cache
@@ -718,7 +756,7 @@ def decode_step(
         # (tried scan unroll=2: 254 -> 180 tok/s — XLA re-materializes the
         # carried cache stacks per unrolled pair; keep unroll=1)
         x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
-        logits = (x[:, 0] @ params["lm_head"]).astype(jnp.float32)  # [B, V]
+        logits = wdot(x[:, 0], params["lm_head"]).astype(jnp.float32)  # [B, V]
         new_cache = KVCache(k=k_all.reshape(L, B, cache_heads, C, D),
                             v=v_all.reshape(L, B, cache_heads, C, D),
                             lengths=lens_all.reshape(L, B, cache_heads),
@@ -756,7 +794,7 @@ def decode_step(
             layer_fn_qtp, carry0,
             (params["layers"], jnp.arange(L, dtype=jnp.int32)))
         x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
-        logits = (x[:, 0] @ params["lm_head"]).astype(jnp.float32)  # [B, V]
+        logits = wdot(x[:, 0], params["lm_head"]).astype(jnp.float32)  # [B, V]
         new_cache = QuantKVCacheTPU(
             k_codes=kc_all, v_codes=vc_all, scales=sc_all, lengths=lens_all,
             positions=cache.positions + 1)
@@ -797,7 +835,7 @@ def decode_step(
             layer_fn_q, carry0,
             (params["layers"], jnp.arange(L, dtype=jnp.int32)))
         x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
-        logits = (x[:, 0] @ params["lm_head"]).astype(jnp.float32)  # [B, V]
+        logits = wdot(x[:, 0], params["lm_head"]).astype(jnp.float32)  # [B, V]
         new_cache = QuantKVCacheTPU(
             k_codes=kc_all.reshape(L, B, cache_heads, C, D),
             v_codes=vc_all.reshape(L, B, cache_heads, C, D),
@@ -835,7 +873,7 @@ def decode_step(
             layer_fn_q4tp, carry0,
             (params["layers"], jnp.arange(L, dtype=jnp.int32)))
         x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
-        logits = (x[:, 0] @ params["lm_head"]).astype(jnp.float32)  # [B, V]
+        logits = wdot(x[:, 0], params["lm_head"]).astype(jnp.float32)  # [B, V]
         new_cache = QuantKVCacheTPU4(
             k_codes=kc_all, v_codes=vc_all, scales=sc_all, lengths=lens_all,
             positions=cache.positions + 1)
@@ -877,7 +915,7 @@ def decode_step(
             layer_fn_q4, carry0,
             (params["layers"], jnp.arange(L, dtype=jnp.int32)))
         x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
-        logits = (x[:, 0] @ params["lm_head"]).astype(jnp.float32)  # [B, V]
+        logits = wdot(x[:, 0], params["lm_head"]).astype(jnp.float32)  # [B, V]
         new_cache = QuantKVCacheTPU4(
             k_codes=kc_all.reshape(L, B, cache_heads, C2, D),
             v_codes=vc_all.reshape(L, B, cache_heads, C2, D),
@@ -1120,7 +1158,7 @@ def decode_step(
                                jnp.arange(L, dtype=jnp.int32)))
 
     x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
-    logits = (x[:, 0] @ params["lm_head"]).astype(jnp.float32)  # [B, V]
+    logits = wdot(x[:, 0], params["lm_head"]).astype(jnp.float32)  # [B, V]
 
     if offloaded:
         dk_all, dv_all, len_all = stacks

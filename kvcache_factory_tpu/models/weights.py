@@ -193,3 +193,52 @@ def load_params(model_dir: str, cfg: Optional[ModelConfig] = None,
             state[name] = np.asarray(f.tensor(name))
         f.close()
     return params_from_state_dict(cfg, state, dtype), cfg
+
+
+# ---------------------------------------------------------------------------
+# Weight-only quantization (W8A16)
+# ---------------------------------------------------------------------------
+
+# Matmul weights that carry the bandwidth at decode.  NOT quantized: the
+# router (its fp32 logits steer top-k expert routing — tiny and
+# accuracy-critical), the embedding (consumed by a 1-row gather per decode
+# step, no bandwidth to win), norms and biases (1-D, negligible).
+WEIGHT_QUANT_KEYS = ("qkv_proj", "o_proj", "gate_up_proj", "down_proj")
+
+
+def quantize_weights(params: Dict[str, Any], nbits: int = 8) -> Dict[str, Any]:
+    """Weight-only int8 quantization (W8A16) of the matmul weights.
+
+    Each weight [..., in, out] becomes ``{"q": int8, "s": f32 [..., 1, out]}``
+    with a per-OUT-channel symmetric scale over the input axis; the forward
+    dequantizes POST-dot (the scale commutes with the contraction —
+    ``models/llama.py::wdot``), so decode streams half the weight bytes.
+    Measured on v5e: the decode FFN chain runs 1.84x faster
+    (``tools/bench_wquant_probe.py``); per-channel symmetric int8 weight
+    reconstruction error is ~0.2-0.4% rel on normal-ish weights.
+
+    No reference counterpart — the reference quantizes only the KV cache
+    (pyramidkv/quantcache.py:13-27); at every measured batch size the
+    WEIGHT stream is the larger decode term (BASELINE.md attribution).
+    Compose freely with the quantized KV cache (independent subsystems).
+
+    Apply BEFORE ``parallel.mesh.shard_params`` (it lays out q/s leaves).
+    """
+    if nbits != 8:
+        raise NotImplementedError(
+            "weight-only quantization supports nbits=8; int4 weights need a "
+            "packed-nibble unpack in the matmul path — not built")
+
+    @jax.jit
+    def q1(w):
+        wf = w.astype(jnp.float32)
+        s = jnp.maximum(jnp.max(jnp.abs(wf), axis=-2, keepdims=True),
+                        1e-30) / 127.0
+        q = jnp.clip(jnp.round(wf / s), -127, 127).astype(jnp.int8)
+        return {"q": q, "s": s}
+
+    out = dict(params)
+    out["lm_head"] = q1(params["lm_head"])
+    out["layers"] = {k: (q1(v) if k in WEIGHT_QUANT_KEYS else v)
+                     for k, v in params["layers"].items()}
+    return out

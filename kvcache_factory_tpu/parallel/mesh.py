@@ -142,9 +142,19 @@ def shard_params(params: Dict[str, Any], mesh: Mesh,
     # PartitionSpec subclasses tuple (a pytree node), so walk by key path
     # instead of zipping trees.
     def place(path, x):
+        keys = [p.key for p in path]
+        # Weight-quantized leaves (models/weights.py::quantize_weights) are
+        # {"q": int8, "s": scale} one level below the weight name: q shards
+        # like the weight; s [..., 1, out] keeps every axis entry except the
+        # reduced input axis (-2), which is size 1 (so a row-parallel
+        # weight's scale is replicated, a column-parallel one's shards with
+        # its output columns).
+        wq = keys[-1] in ("q", "s")
         node = specs
-        for p in path:
-            node = node[p.key]
+        for k in (keys[:-1] if wq else keys):
+            node = node[k]
+        if wq and keys[-1] == "s" and len(node) >= 2:
+            node = P(*node[:-2], None, node[-1])
         return jax.device_put(x, NamedSharding(mesh, node))
 
     return jax.tree_util.tree_map_with_path(place, params)

@@ -56,7 +56,7 @@ from ..cache.kv_cache import append_layer, valid_mask
 from ..config import ModelConfig, dtype_of
 from ..models.llama import (_merge_heads, _split_heads, apply_rope,
                             ffn_block, grouped_attention, rms_norm,
-                            rope_inv_freq, rope_tables)
+                            rope_inv_freq, rope_tables, wdot)
 from ..ops.attention import blocked_causal_attention
 from ..policies.methods import LayerContext, compress_prefill
 
@@ -106,7 +106,7 @@ def pipeline_forward(
     def apply_local_layers(x, layers, len_mb):
         def layer_fn(x, lp):
             h = rms_norm(x, lp["input_norm"], cfg.rms_norm_eps)
-            qkv = h @ lp["qkv_proj"]
+            qkv = wdot(h, lp["qkv_proj"])
             if "qkv_bias" in lp:  # Qwen2-family QKV bias
                 qkv = qkv + lp["qkv_bias"]
             q = _split_heads(qkv[..., :Hq * D], Hq, D)
@@ -118,7 +118,7 @@ def pipeline_forward(
             # [mb, Hq, S, S] mask would OOM at the long contexts pp targets.
             attn = blocked_causal_attention(q, k, v, len_mb,
                                             cfg.sliding_window)
-            h = _merge_heads(attn) @ lp["o_proj"]
+            h = wdot(_merge_heads(attn), lp["o_proj"])
             if "o_bias" in lp:
                 h = h + lp["o_bias"]
             x = x + h
@@ -160,7 +160,7 @@ def pipeline_forward(
                 last_tok = jnp.maximum(len_mb - 1, 0)
                 x_last = jnp.take_along_axis(xf, last_tok[:, None, None],
                                              axis=1)
-                logits = (x_last[:, 0] @ params["lm_head"]).astype(jnp.float32)
+                logits = wdot(x_last[:, 0], params["lm_head"]).astype(jnp.float32)
                 return lax.dynamic_update_slice_in_dim(outs, logits,
                                                        done_idx * mb, 0)
 
@@ -262,7 +262,7 @@ def pp_generate(
 
     def qkv_of(x, lp, cos, sin):
         h = rms_norm(x, lp["input_norm"], cfg.rms_norm_eps)
-        qkv = h @ lp["qkv_proj"]
+        qkv = wdot(h, lp["qkv_proj"])
         if "qkv_bias" in lp:
             qkv = qkv + lp["qkv_bias"]
         q = _split_heads(qkv[..., :Hq * D], Hq, D)
@@ -271,7 +271,7 @@ def pp_generate(
         return apply_rope(q, cos, sin), apply_rope(k, cos, sin), v
 
     def finish(x, attn, lp):
-        h = _merge_heads(attn) @ lp["o_proj"]
+        h = wdot(_merge_heads(attn), lp["o_proj"])
         if "o_bias" in lp:
             h = h + lp["o_bias"]
         x = x + h
@@ -346,7 +346,7 @@ def pp_generate(
                 last_tok = jnp.maximum(len_mb - 1, 0)
                 x_last = jnp.take_along_axis(xf, last_tok[:, None, None],
                                              axis=1)[:, 0]
-                logits = (x_last @ params["lm_head"]).astype(jnp.float32)
+                logits = wdot(x_last, params["lm_head"]).astype(jnp.float32)
                 tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
                 mm = jnp.clip(t - last, 0, M - 1)
                 return lax.dynamic_update_slice_in_dim(tok0, tok[None], mm, 0)
@@ -444,7 +444,7 @@ def pp_generate(
             def sample(ops):
                 tok_ring, out_toks = ops
                 xf = rms_norm(h, params["final_norm"], cfg.rms_norm_eps)
-                logits = (xf[:, 0] @ params["lm_head"]).astype(jnp.float32)
+                logits = wdot(xf[:, 0], params["lm_head"]).astype(jnp.float32)
                 tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # [mb]
                 out_toks = lax.dynamic_update_slice(out_toks, tok[:, None],
                                                     (m * mb, n))

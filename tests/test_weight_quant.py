@@ -1,0 +1,273 @@
+"""Weight-only int8 quantization (W8A16) — models/weights.py::quantize_weights
++ models/llama.py::wdot.
+
+Decode is weight-bandwidth-bound at every measured batch size
+(BASELINE.md attribution); halving the weight stream measured 1.56x on the
+headline B=1 decode and 1.24-1.54x on the serving rows (v5e, round 5).
+No reference counterpart — the reference quantizes only the KV cache
+(pyramidkv/quantcache.py).
+
+Decisive properties:
+- snapped-weights exactness: if every weight already sits on its int8 grid,
+  the quantized forward equals the fp forward (up to the post-dot scale
+  rounding, ~1e-6 rel in f32) — the scale-commute algebra is exact;
+- random weights: logits stay close and per-weight reconstruction error is
+  small;
+- composition: GSPMD (dp, tp) sharding, pipeline parallelism, the engine,
+  and chunked admission all produce token streams identical to their
+  single-device / unsharded quantized counterparts.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from kvcache_factory_tpu.config import (CompressionConfig, GenerationConfig,
+                                        ModelConfig, ShardingConfig)
+from kvcache_factory_tpu.models import llama
+from kvcache_factory_tpu.models.weights import (WEIGHT_QUANT_KEYS,
+                                                init_params, quantize_weights)
+
+
+def tiny_cfg(moe=False):
+    kw = dict(num_local_experts=4, num_experts_per_tok=2) if moe else {}
+    return ModelConfig(
+        model_type="mixtral" if moe else "llama", vocab_size=96,
+        hidden_size=64, intermediate_size=128, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, head_dim=16,
+        max_position_embeddings=256, dtype="float32", **kw)
+
+
+def comp48():
+    return CompressionConfig(method="snapkv", max_capacity_prompt=24,
+                             window_size=8, kernel_size=7, pooling="maxpool")
+
+
+def dequant_tree(qp):
+    """Fold every {"q", "s"} leaf back to a dense fp matrix."""
+    def deq(x):
+        if isinstance(x, dict) and set(x) == {"q", "s"}:
+            return x["q"].astype(jnp.float32) * x["s"]
+        return x
+    out = dict(qp)
+    out["lm_head"] = deq(qp["lm_head"])
+    out["layers"] = {k: deq(v) for k, v in qp["layers"].items()}
+    return out
+
+
+@pytest.mark.parametrize("moe", [False, True])
+def test_snapped_weights_forward_is_exact(moe):
+    """Weights already on the int8 grid -> quantize is lossless, so the
+    quantized forward must match the fp forward with those same (snapped)
+    weights to float-rounding of the post-dot scale multiply."""
+    cfg = tiny_cfg(moe)
+    params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    snapped = dequant_tree(quantize_weights(params))  # on-grid fp weights
+    qp = quantize_weights(snapped)
+    # round-trip really is lossless on the int levels
+    for k in WEIGHT_QUANT_KEYS:
+        if k in qp["layers"]:
+            np.testing.assert_array_equal(
+                np.asarray(qp["layers"][k]["q"]),
+                np.asarray(quantize_weights(params)["layers"][k]["q"]))
+
+    rng = np.random.default_rng(1)
+    toks = jnp.asarray(rng.integers(0, cfg.vocab_size, (2, 48)), jnp.int32)
+    tl = jnp.asarray([48, 37], jnp.int32)
+    pre_f = llama.prefill(snapped, cfg, comp48(), toks, tl, cache_capacity=64)
+    pre_q = llama.prefill(qp, cfg, comp48(), toks, tl, cache_capacity=64)
+    np.testing.assert_allclose(np.asarray(pre_q.logits_last),
+                               np.asarray(pre_f.logits_last),
+                               rtol=1e-5, atol=1e-5)
+    tok = jnp.argmax(pre_f.logits_last, -1).astype(jnp.int32)
+    lg_f, _ = llama.decode_step(snapped, cfg, tok, pre_f.cache)
+    lg_q, _ = llama.decode_step(qp, cfg, tok, pre_q.cache)
+    np.testing.assert_allclose(np.asarray(lg_q), np.asarray(lg_f),
+                               rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("moe", [False, True])
+def test_random_weights_logits_close(moe):
+    cfg = tiny_cfg(moe)
+    params = init_params(cfg, jax.random.PRNGKey(2), dtype=jnp.float32)
+    qp = quantize_weights(params)
+    # per-weight reconstruction error: per-out-channel symmetric int8 on
+    # normal weights sits well under 1% rel (RMS)
+    for k in WEIGHT_QUANT_KEYS:
+        if k not in params["layers"]:
+            continue
+        w = np.asarray(params["layers"][k], np.float32)
+        wq = np.asarray(qp["layers"][k]["q"], np.float32) \
+            * np.asarray(qp["layers"][k]["s"])
+        rel = np.sqrt(((w - wq) ** 2).mean() / (w ** 2).mean())
+        # per-out-channel max-scaled int8 on ~N(0, 1/fan_in) weights: step
+        # = 2*max/254 with max ~4 sigma -> RMS error ~0.9% of sigma
+        assert rel < 1.2e-2, (k, rel)
+
+    rng = np.random.default_rng(3)
+    toks = jnp.asarray(rng.integers(0, cfg.vocab_size, (2, 48)), jnp.int32)
+    tl = jnp.asarray([48, 40], jnp.int32)
+    pre_f = llama.prefill(params, cfg, comp48(), toks, tl, cache_capacity=64)
+    pre_q = llama.prefill(qp, cfg, comp48(), toks, tl, cache_capacity=64)
+    lf, lq = np.asarray(pre_f.logits_last), np.asarray(pre_q.logits_last)
+    assert np.all(np.isfinite(lq))
+    # logit drift bounded well below the logit scale
+    assert np.abs(lq - lf).max() < 0.1 * np.abs(lf).max(), \
+        (np.abs(lq - lf).max(), np.abs(lf).max())
+
+
+def test_unsupported_nbits_raises():
+    params = init_params(tiny_cfg(), jax.random.PRNGKey(0))
+    with pytest.raises(NotImplementedError):
+        quantize_weights(params, nbits=4)
+
+
+@pytest.mark.parametrize("dp,tp", [(2, 4), (1, 4)])
+def test_sharded_quantized_generate_matches_single_device(dp, tp):
+    """GSPMD (dp, tp) over quantized weights: q shards like its weight, the
+    per-out-channel scale drops the reduced axis (mesh.py::place) — tokens
+    must match the unsharded quantized run exactly."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from kvcache_factory_tpu.parallel.mesh import (data_sharding, make_mesh,
+                                                   shard_params)
+    from kvcache_factory_tpu.runtime import generate
+
+    if jax.device_count() < dp * tp:
+        pytest.skip("needs 8 virtual devices")
+    cfg = ModelConfig(
+        model_type="llama", vocab_size=256, hidden_size=128,
+        intermediate_size=256, num_hidden_layers=2, num_attention_heads=8,
+        num_key_value_heads=4, head_dim=16, max_position_embeddings=512,
+        dtype="float32")
+    qp = quantize_weights(init_params(cfg, jax.random.PRNGKey(3),
+                                      dtype=jnp.float32))
+    comp = CompressionConfig(method="snapkv", max_capacity_prompt=48,
+                             window_size=8, kernel_size=7, pooling="maxpool")
+    gen_cfg = GenerationConfig(max_new_tokens=6)
+    B, S = max(dp, 2), 96
+    rng = np.random.default_rng(dp * 10 + tp)
+    toks = rng.integers(0, cfg.vocab_size, size=(B, S))
+    tl = np.full((B,), S, np.int32)
+    cap = 48 + 7
+
+    single = generate(qp, cfg, comp, gen_cfg, jnp.asarray(toks, jnp.int32),
+                      jnp.asarray(tl), cache_capacity=cap)
+    mesh = make_mesh(ShardingConfig(dp=dp, tp=tp))
+    sp = shard_params(qp, mesh, cfg)
+    # the scale of a row-parallel weight must be replicated; of a
+    # column-parallel weight, sharded with its out columns
+    o_s = sp["layers"]["o_proj"]["s"].sharding.spec
+    assert tuple(o_s) in ((None, None, None), ()), o_s
+    qkv_q = sp["layers"]["qkv_proj"]["q"].sharding.spec
+    assert tuple(qkv_q)[-1] == "tp", qkv_q
+    toks_s = jax.device_put(jnp.asarray(toks, jnp.int32), data_sharding(mesh))
+    tl_s = jax.device_put(jnp.asarray(tl), NamedSharding(mesh, P("dp")))
+    with mesh:
+        res = generate(sp, cfg, comp, gen_cfg, toks_s, tl_s,
+                       cache_capacity=cap)
+    np.testing.assert_array_equal(np.asarray(single.tokens),
+                                  np.asarray(res.tokens))
+
+
+def test_ep_sharded_quantized_generate_matches_single_device():
+    """MoE expert parallelism over quantized expert weights: q and its
+    per-out-channel scale both shard the expert axis over ep (the scale
+    keeps every spec entry except the reduced input axis) — tokens must
+    match the unsharded quantized run."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from kvcache_factory_tpu.parallel.mesh import make_mesh, shard_params
+    from kvcache_factory_tpu.runtime import generate
+
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 virtual devices")
+    cfg = ModelConfig(
+        model_type="mixtral", vocab_size=256, hidden_size=128,
+        intermediate_size=192, num_hidden_layers=2, num_attention_heads=8,
+        num_key_value_heads=4, head_dim=16, max_position_embeddings=512,
+        num_local_experts=4, num_experts_per_tok=2, dtype="float32")
+    qp = quantize_weights(init_params(cfg, jax.random.PRNGKey(7),
+                                      dtype=jnp.float32))
+    comp = CompressionConfig(method="snapkv", max_capacity_prompt=48,
+                             window_size=8)
+    gen_cfg = GenerationConfig(max_new_tokens=5)
+    B, S = 2, 96
+    rng = np.random.default_rng(17)
+    toks = rng.integers(0, cfg.vocab_size, size=(B, S))
+    tl = np.full((B,), S, np.int32)
+    cap = 48 + 6
+
+    single = generate(qp, cfg, comp, gen_cfg, jnp.asarray(toks, jnp.int32),
+                      jnp.asarray(tl), cache_capacity=cap)
+    mesh = make_mesh(ShardingConfig(dp=1, tp=2, ep=4))
+    sp = shard_params(qp, mesh, cfg)
+    gu = sp["layers"]["gate_up_proj"]
+    assert gu["q"].sharding.spec[1] == "ep"
+    assert gu["s"].sharding.spec[1] == "ep"          # scale rides its expert
+    assert tuple(gu["s"].sharding.spec)[-1] == "tp"  # and its out columns
+    toks_s = jax.device_put(jnp.asarray(toks, jnp.int32),
+                            NamedSharding(mesh, P("dp", None)))
+    tl_s = jax.device_put(jnp.asarray(tl), NamedSharding(mesh, P("dp")))
+    with mesh:
+        res = generate(sp, cfg, comp, gen_cfg, toks_s, tl_s,
+                       cache_capacity=cap)
+    np.testing.assert_array_equal(np.asarray(single.tokens),
+                                  np.asarray(res.tokens))
+
+
+def test_engine_quantized_weights_chunked_admission():
+    """The batching engine serves quantized weights end to end (chunked
+    admission included): tokens match the plain-admission quantized drain."""
+    from kvcache_factory_tpu.config import EngineConfig
+    from kvcache_factory_tpu.runtime.batching import ContinuousBatchingEngine
+
+    cfg = tiny_cfg()
+    qp = quantize_weights(init_params(cfg, jax.random.PRNGKey(7),
+                                      dtype=jnp.float32))
+    ecfg = EngineConfig(model=cfg, compression=comp48(),
+                        prefill_buckets=(64, 128))
+    rng = np.random.default_rng(11)
+    prompts = [rng.integers(0, cfg.vocab_size, size=s).tolist()
+               for s in (40, 90, 120)]
+    plain = ContinuousBatchingEngine(qp, ecfg, n_slots=2, max_new_cap=5)
+    rp = [plain.submit(p, 5) for p in prompts]
+    out_p = plain.run()
+    chunked = ContinuousBatchingEngine(qp, ecfg, n_slots=2, max_new_cap=5,
+                                       prefill_chunk_tokens=32)
+    rc = [chunked.submit(p, 5) for p in prompts]
+    out_c = chunked.run()
+    assert all(out_p[a] == out_c[b] for a, b in zip(rp, rc))
+
+
+def test_pp_generate_quantized_matches_single_program():
+    """pp_generate with quantized weights: stage-sliced q/s leaves flow the
+    GPipe loop; tokens match the plain quantized generate."""
+    from kvcache_factory_tpu.parallel.pipeline import (make_pp_mesh,
+                                                       pp_generate,
+                                                       shard_params_pp)
+    from kvcache_factory_tpu.runtime import generate
+
+    if jax.device_count() < 2:
+        pytest.skip("needs 2 virtual devices")
+    cfg = ModelConfig(
+        model_type="llama", vocab_size=96, hidden_size=64,
+        intermediate_size=128, num_hidden_layers=4, num_attention_heads=4,
+        num_key_value_heads=2, head_dim=16, max_position_embeddings=256,
+        dtype="float32")
+    qp = quantize_weights(init_params(cfg, jax.random.PRNGKey(5),
+                                      dtype=jnp.float32))
+    comp = comp48()
+    rng = np.random.default_rng(9)
+    B, S, N = 4, 48, 5
+    toks = jnp.asarray(rng.integers(0, cfg.vocab_size, (B, S)), jnp.int32)
+    tl = jnp.full((B,), S, jnp.int32)
+    cap = comp.layer_capacity(cfg.num_hidden_layers, S) + N + 1
+    ref = generate(qp, cfg, comp, GenerationConfig(max_new_tokens=N),
+                   toks, tl, cache_capacity=cap)
+    mesh = make_pp_mesh(2)
+    sharded = shard_params_pp(qp, mesh)
+    out = jax.jit(lambda p, t, tl_: pp_generate(
+        p, cfg, comp, t, tl_, mesh, n_microbatches=2,
+        max_new_tokens=N, cache_capacity=cap))(sharded, toks, tl)
+    np.testing.assert_array_equal(np.asarray(ref.tokens), np.asarray(out))

@@ -322,6 +322,29 @@ except Exception as e:
     failures.append(("chunked-admission-mesh", "-"))
     print(f"chunked admission mesh FAIL: {str(e)[:120]}")
 
+# 4. Weight-only int8 (W8A16, round 5): quantized weights through the
+#    Pallas decode path on hardware (bench-measured +56% at B=1; this cell
+#    guards the compile/run of the int8-weight matmul graph).
+try:
+    from kvcache_factory_tpu.models.weights import quantize_weights
+    _wq = quantize_weights(params)
+    _comp_w = CompressionConfig(method="snapkv", max_capacity_prompt=CAP,
+                                window_size=8, kernel_size=7,
+                                pooling="maxpool", group_reduce="mean")
+    _pre_w = llama.prefill(_wq, cfg, _comp_w, tokens, true_len,
+                           cache_capacity=512)
+    _tok_w = jnp.argmax(_pre_w.logits_last, -1).astype(jnp.int32)
+    _cache_w = _pre_w.cache
+    _step_w = jax.jit(lambda t, c: llama.decode_step(_wq, cfg, t, c))
+    for _ in range(3):
+        _lg_w, _cache_w = _step_w(_tok_w, _cache_w)
+        _tok_w = jnp.argmax(_lg_w, -1).astype(jnp.int32)
+    assert np.isfinite(np.asarray(_lg_w)).all(), "non-finite logits"
+    print("wq8 weights (W8A16) prefill+decode OK")
+except Exception as e:
+    failures.append(("wq8", "-"))
+    print(f"wq8 weights FAIL: {str(e)[:120]}")
+
 if failures:
     print("FAILURES:", failures)
     sys.exit(1)
