@@ -227,7 +227,13 @@ def quantize_weights(params: Dict[str, Any], nbits: int = 8) -> Dict[str, Any]:
     if nbits != 8:
         raise NotImplementedError(
             "weight-only quantization supports nbits=8; int4 weights need a "
-            "packed-nibble unpack in the matmul path — not built")
+            "packed-nibble unpack in the matmul path — not built.  (tried, "
+            "2026-08-21: XLA does not fuse the nibble unpack into the dot "
+            "read — the interleave-reshape variant ran 9.53 ms and the "
+            "two-dot even/odd-plane variant 2.87 ms on the FFN probe chain "
+            "vs int8's 0.838 / bf16's 1.542; XLA materializes the "
+            "dequantized planes, so W4 would need a Pallas matvec kernel "
+            "with in-kernel unpack like decode_attn_quant's)")
 
     @jax.jit
     def q1(w):
