@@ -235,11 +235,23 @@ def quantize_weights(params: Dict[str, Any], nbits: int = 8) -> Dict[str, Any]:
             "dequantized planes, so W4 would need a Pallas matvec kernel "
             "with in-kernel unpack like decode_attn_quant's)")
 
+    if isinstance(params.get("lm_head"), dict) or any(
+            isinstance(v, dict) for v in params["layers"].values()):
+        raise ValueError(
+            "params are already weight-quantized ({'q', 's'} leaves found); "
+            "quantize_weights must be applied to fp weights exactly once")
+
     @jax.jit
     def q1(w):
         wf = w.astype(jnp.float32)
         s = jnp.maximum(jnp.max(jnp.abs(wf), axis=-2, keepdims=True),
                         1e-30) / 127.0
+        # round the scale to bf16 BEFORE computing q: the stored f32 scale
+        # is then bf16-exact, so wdot's cast to the activation dtype is
+        # lossless on TPU (a post-hoc bf16 cast would stack ~2^-9
+        # per-channel error on every matmul), and the rounding is absorbed
+        # into q optimally.  Free at runtime.
+        s = s.astype(jnp.bfloat16).astype(jnp.float32)
         q = jnp.clip(jnp.round(wf / s), -127, 127).astype(jnp.int8)
         return {"q": q, "s": s}
 

@@ -140,24 +140,30 @@ def shard_params(params: Dict[str, Any], mesh: Mesh,
     specs = param_specs(model_cfg, ep="ep" in mesh.axis_names)
 
     # PartitionSpec subclasses tuple (a pytree node), so walk by key path
-    # instead of zipping trees.
+    # instead of zipping trees.  Weight-quantized leaves
+    # (models/weights.py::quantize_weights) are {"q": int8, "s": scale}
+    # dicts, detected STRUCTURALLY via is_leaf (not by key name — a future
+    # param legitimately named "q"/"s" must not be misrouted): q shards
+    # like its weight; s [..., 1, out] keeps every spec entry except the
+    # reduced input axis (-2), which has size 1 — so a row-parallel
+    # weight's scale is replicated and a column-parallel one's shards with
+    # its output columns.
+    def is_wq(n):
+        return isinstance(n, dict) and set(n) == {"q", "s"}
+
     def place(path, x):
-        keys = [p.key for p in path]
-        # Weight-quantized leaves (models/weights.py::quantize_weights) are
-        # {"q": int8, "s": scale} one level below the weight name: q shards
-        # like the weight; s [..., 1, out] keeps every axis entry except the
-        # reduced input axis (-2), which is size 1 (so a row-parallel
-        # weight's scale is replicated, a column-parallel one's shards with
-        # its output columns).
-        wq = keys[-1] in ("q", "s")
         node = specs
-        for k in (keys[:-1] if wq else keys):
-            node = node[k]
-        if wq and keys[-1] == "s" and len(node) >= 2:
-            node = P(*node[:-2], None, node[-1])
+        for p in path:
+            node = node[p.key]
+        if is_wq(x):
+            s_spec = (P(*node[:-2], None, node[-1]) if len(node) >= 2
+                      else node)
+            return {"q": jax.device_put(x["q"], NamedSharding(mesh, node)),
+                    "s": jax.device_put(x["s"],
+                                        NamedSharding(mesh, s_spec))}
         return jax.device_put(x, NamedSharding(mesh, node))
 
-    return jax.tree_util.tree_map_with_path(place, params)
+    return jax.tree_util.tree_map_with_path(place, params, is_leaf=is_wq)
 
 
 def data_sharding(mesh: Mesh) -> NamedSharding:

@@ -22,7 +22,7 @@ import numpy as np
 from ..config import ModelConfig
 from ..models.llama import (_causal_mask, _merge_heads, _split_heads,
                             apply_rope, grouped_attention, rms_norm,
-                            rope_tables, swiglu_fused)
+                            rope_tables, swiglu_fused, wdot)
 
 
 def infer_attention(params, cfg: ModelConfig, tokens: np.ndarray,
@@ -47,7 +47,7 @@ def infer_attention(params, cfg: ModelConfig, tokens: np.ndarray,
     for l in range(L):
         lp = jax.tree.map(lambda a: a[l].astype(jnp.float32), layers)
         h = rms_norm(x, lp["input_norm"], cfg.rms_norm_eps)
-        qkv = h @ lp["qkv_proj"]
+        qkv = wdot(h, lp["qkv_proj"])
         if "qkv_bias" in lp:  # Qwen2-family QKV bias
             qkv = qkv + lp["qkv_bias"]
         q = _split_heads(qkv[..., :Hq * D], Hq, D)
@@ -60,7 +60,7 @@ def infer_attention(params, cfg: ModelConfig, tokens: np.ndarray,
         # models/llama.py) — the viz maps must show what the model computes.
         out, probs = grouped_attention(q, k, v, mask, return_probs=True)
         maps.append(np.asarray(probs.reshape(Hq, S, S)) * scale)
-        h = _merge_heads(out) @ lp["o_proj"]
+        h = wdot(_merge_heads(out), lp["o_proj"])
         if "o_bias" in lp:
             h = h + lp["o_bias"]
         x = x + h

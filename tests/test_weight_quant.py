@@ -124,6 +124,31 @@ def test_unsupported_nbits_raises():
         quantize_weights(params, nbits=4)
 
 
+def test_double_quantize_raises():
+    params = init_params(tiny_cfg(), jax.random.PRNGKey(0))
+    qp = quantize_weights(params)
+    with pytest.raises(ValueError, match="already weight-quantized"):
+        quantize_weights(qp)
+
+
+def test_viz_infer_attention_quantized_weights():
+    """utils/viz.py's per-layer replay loop handles quantized weights (a
+    review pass found it was the one forward path missed by the wdot
+    conversion sweep)."""
+    from kvcache_factory_tpu.utils.viz import infer_attention
+
+    cfg = tiny_cfg()
+    params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    toks = np.random.default_rng(0).integers(0, cfg.vocab_size, 16)
+    maps_f = infer_attention(params, cfg, toks)
+    maps_q = infer_attention(quantize_weights(params), cfg, toks)
+    assert len(maps_q) == cfg.num_hidden_layers
+    for mf, mq in zip(maps_f, maps_q):
+        assert np.isfinite(mq).all()
+        # same softmax structure, quantization-sized drift
+        assert np.abs(mq - mf).max() < 0.05 * np.abs(mf).max()
+
+
 @pytest.mark.parametrize("dp,tp", [(2, 4), (1, 4)])
 def test_sharded_quantized_generate_matches_single_device(dp, tp):
     """GSPMD (dp, tp) over quantized weights: q shards like its weight, the
