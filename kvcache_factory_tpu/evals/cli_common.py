@@ -60,6 +60,10 @@ def add_engine_args(ap: argparse.ArgumentParser) -> None:
                          "measured batch size) at ~0.6%% per-weight RMS "
                          "error; composes with --quant_method (independent "
                          "subsystems).  No reference counterpart")
+    ap.add_argument("--wq8_skip", type=str, nargs="*", default=[],
+                    help="matrices kept fp under --wq8 (e.g. lm_head — the "
+                         "standard first mitigation if a quantized "
+                         "checkpoint drifts)")
     ap.add_argument("--residual_length", type=int, default=0,
                     help="recent tokens kept full-precision alongside the "
                          "quantized cache (reference sets output_max_len, "
@@ -155,7 +159,8 @@ def build_engine_from_args(args) -> Tuple[InferenceEngine, object, str]:
     params, model_cfg = load_params(args.model_path)
     if getattr(args, "wq8", False):
         from ..models.weights import quantize_weights
-        params = quantize_weights(params)
+        params = quantize_weights(
+            params, skip=tuple(getattr(args, "wq8_skip", ())))
     comp = compression_from_args(args)
     cap, capacity_ratio = resolve_capacity(args)
 

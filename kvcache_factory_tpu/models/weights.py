@@ -206,7 +206,8 @@ def load_params(model_dir: str, cfg: Optional[ModelConfig] = None,
 WEIGHT_QUANT_KEYS = ("qkv_proj", "o_proj", "gate_up_proj", "down_proj")
 
 
-def quantize_weights(params: Dict[str, Any], nbits: int = 8) -> Dict[str, Any]:
+def quantize_weights(params: Dict[str, Any], nbits: int = 8,
+                     skip: tuple = ()) -> Dict[str, Any]:
     """Weight-only int8 quantization (W8A16) of the matmul weights.
 
     Each weight [..., in, out] becomes ``{"q": int8, "s": f32 [..., 1, out]}``
@@ -223,6 +224,12 @@ def quantize_weights(params: Dict[str, Any], nbits: int = 8) -> Dict[str, Any]:
     Compose freely with the quantized KV cache (independent subsystems).
 
     Apply BEFORE ``parallel.mesh.shard_params`` (it lays out q/s leaves).
+
+    ``skip`` keeps named matrices fp — e.g. ``skip=("lm_head",)`` (the
+    standard first-mitigation when a quantized checkpoint drifts: the
+    output head is the most drift-sensitive matmul and only ~6% of this
+    geometry's weight bytes).  Valid names: "lm_head" and the
+    WEIGHT_QUANT_KEYS layer entries.
     """
     if nbits != 8:
         raise NotImplementedError(
@@ -255,8 +262,15 @@ def quantize_weights(params: Dict[str, Any], nbits: int = 8) -> Dict[str, Any]:
         q = jnp.clip(jnp.round(wf / s), -127, 127).astype(jnp.int8)
         return {"q": q, "s": s}
 
+    known = set(WEIGHT_QUANT_KEYS) | {"lm_head"}
+    unknown = set(skip) - known
+    if unknown:
+        raise ValueError(f"skip names {sorted(unknown)} not quantizable "
+                         f"(valid: {sorted(known)})")
     out = dict(params)
-    out["lm_head"] = q1(params["lm_head"])
-    out["layers"] = {k: (q1(v) if k in WEIGHT_QUANT_KEYS else v)
-                     for k, v in params["layers"].items()}
+    if "lm_head" not in skip:
+        out["lm_head"] = q1(params["lm_head"])
+    out["layers"] = {
+        k: (q1(v) if k in WEIGHT_QUANT_KEYS and k not in skip else v)
+        for k, v in params["layers"].items()}
     return out

@@ -124,6 +124,25 @@ def test_unsupported_nbits_raises():
         quantize_weights(params, nbits=4)
 
 
+def test_skip_keeps_named_matrices_fp():
+    """skip=("lm_head",) — the standard first accuracy mitigation — keeps
+    the named matrix a plain array while the rest quantize."""
+    params = init_params(tiny_cfg(), jax.random.PRNGKey(0),
+                         dtype=jnp.float32)
+    qp = quantize_weights(params, skip=("lm_head", "o_proj"))
+    assert not isinstance(qp["lm_head"], dict)
+    assert not isinstance(qp["layers"]["o_proj"], dict)
+    assert isinstance(qp["layers"]["qkv_proj"], dict)
+    # still forwards
+    rng = np.random.default_rng(4)
+    toks = jnp.asarray(rng.integers(0, 96, (1, 32)), jnp.int32)
+    pre = llama.prefill(qp, tiny_cfg(), comp48(), toks,
+                        jnp.asarray([32], jnp.int32), cache_capacity=48)
+    assert np.isfinite(np.asarray(pre.logits_last)).all()
+    with pytest.raises(ValueError, match="not quantizable"):
+        quantize_weights(params, skip=("embed",))
+
+
 def test_double_quantize_raises():
     params = init_params(tiny_cfg(), jax.random.PRNGKey(0))
     qp = quantize_weights(params)
