@@ -1089,9 +1089,17 @@ def decode_step(
                                  preferred_element_type=jnp.float32)
             cidx = jnp.arange(C, dtype=jnp.int32)[None, None]      # [1,1,C]
             in_dense = (cidx >= bnd[..., None]) & (cidx < bnd[..., None] + Cr)
-            didx = jnp.clip(cidx - bnd[..., None], 0, Cr - 1)      # [B,H,C]
-            dense_full = jnp.take_along_axis(logit_d, didx[:, :, None, :],
-                                             axis=3)               # [B,H,Gq,C]
+            # dense_full[b,h,g,c] = logit_d[b,h,g,c-bnd] for in-window c —
+            # via a one-hot MXU contraction, NOT take_along_axis: XLA
+            # lowers the dynamic gather along C catastrophically on TPU
+            # (measured 7.5 ms of the 13.1 ms/step pre-fix total at
+            # C=2432, ~3.7 us/row — the same pathology as the MoE expert
+            # gather, BASELINE.md), while the [C, Cr] one-hot dot is
+            # <1 MFLOP.  Out-of-window rows of ``oh`` are all-zero; the
+            # ``where`` masks them anyway.
+            oh = (cidx[..., None] - bnd[..., None, None]
+                  == jnp.arange(Cr, dtype=jnp.int32)).astype(logit_d.dtype)
+            dense_full = jnp.einsum("bhck,bhgk->bhgc", oh, logit_d)
             logit = jnp.where(in_dense[:, :, None, :], dense_full, logit_p)
             logit = logit / jnp.sqrt(jnp.asarray(D, jnp.float32))
             valid = cidx < lens[..., None]
